@@ -1,0 +1,87 @@
+"""spark-submit entry point for the entity-resolution pipeline.
+
+Usage (north_rule packaging: spark-submit --py-files mel_spark.zip):
+
+    spark-submit --py-files mel_spark.zip jobs/er_job.py \
+        --input /data/repos_parquet_dir \
+        --checkpoint /tmp/er_ckpt --output /tmp/er_out
+
+    # or synthesize a deterministic corpus (no external data):
+    spark-submit --py-files mel_spark.zip jobs/er_job.py \
+        --synthesize 2000 --checkpoint /tmp/er_ckpt --output /tmp/er_out
+
+Prints one JSON line of run metrics (rows, blocks, candidate pairs, matches,
+clusters, elapsed sec, pairs/sec; plus pairwise F1 when gold clusters exist).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="dir containing repos.parquet (+ optional reference_clusters.parquet)")
+    p.add_argument("--synthesize", type=int, default=0, help="generate N synthetic files instead of reading --input")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--threshold", type=float, default=None)
+    args = p.parse_args(argv)
+
+    from mel_spark.session import get_spark
+    from mel_spark.pipeline import ERConfig, run_pipeline
+
+    spark = get_spark("er_job")
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+
+    gold = None
+    if args.synthesize:
+        from mel_spark.datagen import GenConfig, generate_repos
+
+        tables = generate_repos(GenConfig(n_files=args.synthesize, seed=args.seed))
+        repos = spark.createDataFrame(tables["repos"])
+        gold = spark.createDataFrame(tables["reference_clusters"])
+    elif args.input:
+        repos = spark.read.parquet(f"{args.input}/repos.parquet")
+        try:
+            gold = spark.read.parquet(f"{args.input}/reference_clusters.parquet")
+        except Exception:
+            gold = None
+    else:
+        p.error("one of --input / --synthesize is required")
+
+    cfg = ERConfig() if args.threshold is None else ERConfig(threshold=args.threshold)
+    out = run_pipeline(spark, repos, args.checkpoint, cfg)
+    out["clusters"].write.mode("overwrite").parquet(f"{args.output}/clusters.parquet")
+
+    n_pairs = out["scored"].count()
+    elapsed = time.time() - t0
+    metrics = {
+        "rows": out["mentions"].count(),
+        "blocks": out["blocks"].select("block_key").distinct().count(),
+        "candidate_pairs": n_pairs,
+        "matches": out["matches"].count(),
+        "clusters": out["clusters"].select("cluster_id").distinct().count(),
+        "elapsed_sec": round(elapsed, 2),
+        "candidate_pairs_per_sec": round(n_pairs / elapsed, 1),
+    }
+    if gold is not None:
+        from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf
+
+        m = pairwise_prf(
+            pairs_from_clusters(out["clusters"], "mention_id", "cluster_id"),
+            pairs_from_clusters(gold, "mention_id", "entity_id"),
+        )
+        metrics.update({k: round(v, 6) if isinstance(v, float) else v for k, v in m.items()})
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""DuckDB-SQL twins of mel_spark.functions.text — oracle snippet builders.
+
+Each function returns a SQL *expression string* over a given input expression,
+computing byte-identically to the Spark Column builder of the same name
+(equality-tested in tests/test_oracle_parity.py). Used by __spark_entry__.
+oracle_sql() to assemble the driver's DuckDB correctness queries.
+
+DuckDB notes: list slicing is 1-indexed inclusive (toks[i:i+n-1] = n items),
+``range(1, m+1)`` is a list, md5() yields the same lowercase hex as Spark.
+"""
+
+from __future__ import annotations
+
+
+def tokens(text: str) -> str:
+    return f"string_split({text}, ' ')"
+
+
+def num_tokens(text: str) -> str:
+    return f"len({tokens(text)})"
+
+
+def shingles(text: str, n: int = 3) -> str:
+    toks = tokens(text)
+    m = f"greatest(len({toks}) - {n - 1}, 1)"
+    return (
+        f"list_distinct(list_transform(range(1, {m} + 1), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
+    )
+
+
+def minhash_signature(shingle_expr: str, num_hashes: int = 16, prefix: str = "mh") -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({shingle_expr}, s -> md5('{prefix}{j}:' || s)))"
+        for j in range(num_hashes)
+    )
+    return f"[{parts}]"
+
+
+def minhash_band_keys(sig_expr: str, bands: int, rows: int) -> str:
+    keys = ", ".join(
+        f"'b{i}:' || md5(array_to_string(({sig_expr})[{i * rows + 1}:{i * rows + rows}], '|'))"
+        for i in range(bands)
+    )
+    return f"[{keys}]"
+
+
+def simhash64(shingle_expr: str, bits: int = 32) -> str:
+    h = f"list_transform({shingle_expr}, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    n = f"len({shingle_expr})"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform({h}, v -> (v >> {b}) & 1)) >= {n} "
+        f"THEN {2 ** b}::BIGINT ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"({terms})"
+
+
+def doc_fingerprint(text: str, n: int = 8) -> str:
+    return f"list_min(list_transform({shingles(text, n)}, s -> md5(s)))"
+
+
+def content_sha(text: str) -> str:
+    return f"sha256({text})"
+
+
+def stopword_ratio(text: str, stopwords: list[str]) -> str:
+    toks = tokens(text)
+    in_list = ", ".join(f"'{w}'" for w in stopwords)
+    return (
+        f"(len(list_filter({toks}, t -> t IN ({in_list}))) * 1.0 "
+        f"/ greatest(len({toks}), 1))"
+    )
+
+
+def quality_score(text: str) -> str:
+    from mel_spark.functions.text import LANG_MARKERS
+
+    n_chars = f"length({text})"
+    len_score = f"least({n_chars} / 400.0, 1.0)"
+    punct = f"length(regexp_replace({text}, '[^.,;:!?]', '', 'g'))"
+    punct_score = f"(1.0 - least({punct} * 1.0 / greatest({n_chars}, 1) * 10.0, 1.0))"
+    stop = stopword_ratio(text, LANG_MARKERS["en"])
+    return f"round(({len_score} + {punct_score} + {stop}) / 3.0, 6)"
+
+
+def langid_score(text: str, stopwords: list[str]) -> str:
+    toks = tokens(text)
+    in_list = ", ".join(f"'{w}'" for w in stopwords)
+    return f"len(list_filter({toks}, t -> t IN ({in_list})))"
+
+
+def cosine(a: str, b: str) -> str:
+    """Exact cosine over two list<float> expressions, computed in double with a
+    left-fold matching Spark's F.aggregate ordering; round(…, 6) on both sides
+    keeps the driver's value-hash stable across engines."""
+    dot = f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"round({dot} / ({na} * {nb}), 6)"

@@ -1,0 +1,157 @@
+"""Text → tokens / shingles / hashes, as pure Catalyst column expressions.
+
+Cross-engine determinism rule: every hash bottoms out in ``md5(string)`` which
+produces identical lowercase hex in Spark and DuckDB, so MinHash signatures are
+``min()`` over **lexicographically ordered hex strings** — a uniform order
+statistic, no integer conversion needed. The reference's analogue is the
+polynomial rolling hash over token rows (src/models/data/only_once_dataset.py:60-84)
+and the token-array alias keys (src/baselines/olpeat/find_recall.py:76-91).
+
+Each builder here has a DuckDB twin in mel_spark.functions.oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (documents are space-separated word streams)."""
+    return F.split(text, " ")
+
+
+def num_tokens(text: Column | str) -> Column:
+    return F.size(tokens(text)).alias("num_tokens")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles.
+
+    Docs shorter than ``n`` tokens yield one shingle (the whole doc) — slice()
+    tolerates a short tail, matching DuckDB's inclusive 1-indexed list slicing.
+    """
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16, prefix: str = "mh") -> Column:
+    """MinHash signature: for seed j, min over shingles of md5(f'{prefix}{j}:'||s).
+
+    Returns array<string> of length ``num_hashes`` (hex minima). The seed is a
+    string prefix so Spark and DuckDB compute byte-identical hashes.
+    """
+    def _hasher(j: int):
+        # closure factory: Spark's lambda introspection counts default args,
+        # so `lambda s, j=j` would be mis-read as a 2-ary HOF lambda
+        return lambda s: F.md5(F.concat(F.lit(f"{prefix}{j}:"), s))
+
+    sig = [F.array_min(F.transform(shingle_col, _hasher(j))) for j in range(num_hashes)]
+    return F.array(*sig)
+
+
+def minhash_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """LSH banding: split the signature into ``bands`` groups of ``rows`` minima;
+    band key = 'b{i}:' || md5(concat of the band's minima). Two docs share a band
+    key iff that band of their signatures agrees exactly — the standard
+    MinHash-LSH equi-join key (this is the Spark-native form of the reference's
+    ScaNN partitioning, src/models/searchers/scann_searcher.py:21-49).
+    """
+    keys = [
+        F.concat(
+            F.lit(f"b{i}:"),
+            F.md5(F.concat_ws("|", F.slice(sig_col, i * rows + 1, rows))),
+        )
+        for i in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def simhash64(shingle_col: Column, bits: int = 32) -> Column:
+    """SimHash over shingles: per-bit majority vote of 60-bit md5-derived hashes.
+
+    Implemented as pure column expressions: for each bit position, count
+    shingles whose hash has that bit set; bit is 1 iff count*2 >= n_shingles.
+    ``bits`` ≤ 60 (we take 15 hex chars → signed-safe 60-bit integers).
+    """
+    h = F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    n = F.size(shingle_col)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        def _bit_counter(mask_val: int):
+            mask = F.lit(mask_val).cast("long")
+            return lambda acc, v: acc + F.when(v.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("long")
+
+        ones = F.aggregate(h, F.lit(0).cast("long"), _bit_counter(1 << b))
+        out = out + F.when(ones * 2 >= n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def doc_fingerprint(text: Column | str, n: int = 8) -> Column:
+    """Winnowing-lite document fingerprint: min md5 over 8-gram shingles.
+
+    Reference analogue: polynomial rolling hash per token row
+    (src/models/data/only_once_dataset.py:60-84).
+    """
+    return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def content_sha(text: Column | str) -> Column:
+    """Per-row invariant column (input_hint: sha256(content) equality)."""
+    return F.sha2(F.col(text) if isinstance(text, str) else text, 256)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data-pipeline ops): language ID, quality, counting
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker vocabularies for the n-gram/stopword langid heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    toks = tokens(text)
+    def _in_set(words: list[str]):
+        return lambda t: t.isin(words)
+
+    hits = F.size(F.filter(toks, _in_set(list(stopwords))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Length / punct-density / stopword composite in [0,1] (rounded 6dp)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(t)
+    len_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    punct_score = F.lit(1.0) - F.least(punct / F.greatest(n_chars, F.lit(1)) * 10.0, F.lit(1.0))
+    stop = stopword_ratio(t, LANG_MARKERS["en"])
+    return F.round((len_score + punct_score + stop) / F.lit(3.0), 6)
+
+
+def langid_scores(text: Column | str) -> list[Column]:
+    """Marker-vocabulary hit-count per candidate language (argmax = predicted)."""
+    toks = tokens(text)
+
+    def _in_set(words: list[str]):
+        return lambda t: t.isin(words)
+
+    return [
+        F.size(F.filter(toks, _in_set(ws))).alias(f"score_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]

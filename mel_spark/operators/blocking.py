@@ -1,0 +1,136 @@
+"""Blocking: map each record to candidate-generation keys.
+
+Two key families, unioned (the reference's two alias sources feeding one table,
+ChainStep src/tokenization/pipeline/utils/chain.py:5-17; SURVEY.md §7.1 stage 4):
+
+ (a) content/minhash family — exact sha256 key, or (lang, minhash-band) LSH keys
+     over token shingles (alias-table analogue:
+     src/baselines/string_alias_tables/all_languages.py:93-115,
+     src/baselines/olpeat/find_recall.py:76-91);
+ (b) embedding family — random-hyperplane signature bands over the embedding
+     column (Spark-native form of ScaNN partitioning,
+     src/models/searchers/scann_searcher.py:21-49).
+
+Skew handling (north_rule): hot blocks are capped; a block of size s yields
+s·(s-1)/2 pairs, so an uncapped hot key (the reference's "Paris" problem,
+src/baselines/olpeat/at_embeddings.py:4-6) quadratically dominates the shuffle.
+Cap precedent: per-qid index cap, src/data_processors/index/index.py:102-120.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mel_spark.functions import text as T
+
+
+def exact_content_blocks(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
+    """Blocking key = sha256(content): exact-duplicate blocks (stage-2 minimum
+    slice). Emits (block_key, mention_id)."""
+    return df.select(
+        F.concat(F.lit("sha:"), T.content_sha(content_col)).alias("block_key"),
+        F.col(id_col).alias("mention_id"),
+    )
+
+
+def minhash_blocks(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    lang_col: str | None = "lang",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(lang, minhash-band) LSH blocks. num_hashes = bands × rows; two docs
+    share ≥1 key with prob 1-(1-j^rows)^bands for Jaccard j — with 8 bands × 2
+    rows, j=0.7 collides with p≈0.996."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = T.minhash_signature(T.shingles(content_col, shingle_n), num_hashes)
+    keys = T.minhash_band_keys(sig, bands, rows)
+    lang_prefix: Column = (
+        F.concat(F.col(lang_col), F.lit("/")) if lang_col else F.lit("")
+    )
+    return df.select(
+        F.col(id_col).alias("mention_id"),
+        F.explode(keys).alias("band_key"),
+        lang_prefix.alias("_lp"),
+    ).select(
+        F.concat(F.lit("mh:"), F.col("_lp"), F.col("band_key")).alias("block_key"),
+        "mention_id",
+    )
+
+
+def hyperplane_blocks(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str = "emb",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH over the embedding column,
+    banded like minhash. Hyperplanes are a seeded deterministic matrix baked
+    into the plan as array literals — JVM-side dot products, no Python."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype("float64")
+    assert n_planes % bands == 0
+    rows = n_planes // bands
+
+    def _bit(p: int) -> Column:
+        lits = F.array(*[F.lit(float(x)) for x in planes[p]])
+        s = F.aggregate(
+            F.zip_with(F.col(emb_col), lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bits = [_bit(p) for p in range(n_planes)]
+    keys = [
+        F.concat(F.lit(f"hp{i}:"), *bits[i * rows : (i + 1) * rows]) for i in range(bands)
+    ]
+    return df.select(
+        F.col(id_col).alias("mention_id"), F.explode(F.array(*keys)).alias("block_key")
+    )
+
+
+def cap_blocks(blocks: DataFrame, max_block_size: int = 64, order_col: str = "mention_id") -> DataFrame:
+    """Drop members beyond ``max_block_size`` per key (deterministic order) and
+    drop singleton blocks (they generate no pairs — pruning them early avoids
+    shuffling dead keys)."""
+    w = Window.partitionBy("block_key").orderBy(order_col)
+    return (
+        blocks.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("block_key")))
+        .filter((F.col("_rn") <= max_block_size) & (F.col("_sz") >= 2))
+        .drop("_rn", "_sz")
+    )
+
+
+def salt_hot_blocks(blocks: DataFrame, salt_threshold: int = 256, n_salts: int = 8) -> DataFrame:
+    """Split blocks larger than ``salt_threshold`` into ``n_salts`` sub-blocks
+    by a deterministic member hash. Trades (bounded) recall inside mega-blocks
+    for a quadratic reduction in their pair fan-out — transitive clustering
+    re-merges what the pair stage still connects (north_rule skew handling)."""
+    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_sz"))
+    return (
+        blocks.join(F.broadcast(sizes.filter(F.col("_sz") > salt_threshold)), "block_key", "left")
+        .withColumn(
+            "block_key",
+            F.when(
+                F.col("_sz").isNotNull(),
+                F.concat(
+                    F.col("block_key"),
+                    F.lit("#"),
+                    F.pmod(F.xxhash64("mention_id"), F.lit(n_salts)).cast("string"),
+                ),
+            ).otherwise(F.col("block_key")),
+        )
+        .drop("_sz")
+    )

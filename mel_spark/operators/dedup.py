@@ -1,0 +1,177 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over a documents table (id, text[, lang, emb]):
+
+ exact         — hash-groupBy on sha256(text)            (A8 analogue:
+                 src/models/data/only_once_dataset.py:8-22 — dedup before the
+                 expensive embed, src/baselines/olpeat/at_embeddings.py:4-8)
+ ngram_jaccard — exact shingle-set Jaccard ≥ t pairs (blocked by minhash bands
+                 so the self-join never goes all-pairs; LSH params chosen so
+                 recall at the threshold is ~1, then exact re-verification
+                 makes the output threshold-exact)
+ minhash_lsh   — candidate pairs straight from band collisions (recall<1 by
+                 design; the cheap scale path)
+ simhash       — exact simhash-key groups (near-dup via identical sketch)
+ embedding     — cosine ≥ t pairs over the embedding column
+
+All plain DataFrame ops; hashes are md5-based and cross-engine deterministic
+(functions/text.py ↔ functions/oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mel_spark.functions import text as T
+from mel_spark.functions import vectors as V
+
+
+def exact_duplicates(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (content_sha, doc_ids sorted, group_size),
+    only groups ≥ 2."""
+    return (
+        docs.select(T.content_sha(text_col).alias("content_sha"), F.col(id_col).alias("doc_id"))
+        .groupBy("content_sha")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of every exact-content group (the
+    OnlyOnceDataset contract: each distinct content exactly once)."""
+    w_min = (
+        docs.groupBy(T.content_sha(text_col).alias("_sha"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_sha")
+    )
+    return docs.join(w_min, id_col, "left_semi")
+
+
+def _minhash_candidates(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """Distinct candidate id pairs from minhash band collisions."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = T.minhash_signature(T.shingles(text_col, shingle_n), num_hashes)
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.minhash_band_keys(sig, bands, rows)).alias("band_key"),
+    )
+    a = keyed.select("band_key", F.col("doc_id").alias("doc_id_a"))
+    b = keyed.select("band_key", F.col("doc_id").alias("doc_id_b"))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs with exact shingle-Jaccard ≥ threshold: (doc_id_a, doc_id_b,
+    jaccard). ``exact=True`` verifies every O(n²) pair (oracle mode / small
+    inputs); default blocks with minhash LSH first — at 16 bands × 2 rows a
+    true 0.7-Jaccard pair is missed with prob (1-0.49)^16 ≈ 2e-5."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(T.shingles(text_col, shingle_n)).alias("sh"),
+    )
+    if exact:
+        cand = (
+            sh.select(F.col("doc_id").alias("doc_id_a"))
+            .crossJoin(sh.select(F.col("doc_id").alias("doc_id_b")))
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        )
+    else:
+        cand = _minhash_candidates(docs, id_col, text_col, shingle_n, num_hashes, bands)
+    joined = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")), "doc_id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Raw LSH candidates (no verification) — the cheap 100 TB first pass."""
+    return _minhash_candidates(docs, id_col, text_col, shingle_n, num_hashes, bands)
+
+
+def simhash_groups(docs: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Docs sharing an identical ``bits``-bit simhash (sketch-level near-dup)."""
+    return (
+        docs.select(
+            T.simhash64(T.shingles(text_col, 3), bits).alias("simhash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("simhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def embedding_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    exact: bool = True,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs over the embedding column. ``exact=True`` is
+    the all-pairs baseline (oracle-matched); otherwise hyperplane-LSH blocks
+    first (the 100 TB path)."""
+    e = docs.select(F.col(id_col).alias("doc_id"), F.col(emb_col).alias("emb"))
+    if exact:
+        cand = (
+            e.select(F.col("doc_id").alias("doc_id_a"))
+            .crossJoin(e.select(F.col("doc_id").alias("doc_id_b")))
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        )
+    else:
+        from mel_spark.operators.blocking import hyperplane_blocks
+
+        dim = len(e.select("emb").first()["emb"])
+        blocks = hyperplane_blocks(e, "doc_id", "emb", dim=dim, n_planes=n_planes, bands=bands)
+        a = blocks.select("block_key", F.col("mention_id").alias("doc_id_a"))
+        b = blocks.select("block_key", F.col("mention_id").alias("doc_id_b"))
+        cand = (
+            a.join(b, "block_key")
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b")
+            .distinct()
+        )
+    joined = (
+        cand.join(e.select(F.col("doc_id").alias("doc_id_a"), F.col("emb").alias("emb_a")), "doc_id_a")
+        .join(e.select(F.col("doc_id").alias("doc_id_b"), F.col("emb").alias("emb_b")), "doc_id_b")
+    )
+    return (
+        joined.withColumn("cos", V.cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_id_a", "doc_id_b", "cos")
+    )

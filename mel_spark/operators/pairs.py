@@ -1,0 +1,107 @@
+"""Candidate-pair generation and scoring.
+
+Within-block self-join (id_a < id_b) ⇒ candidate pairs — the reference's J4
+similarity retrieval re-expressed as an equi-join on block keys (SURVEY.md
+§2.3). Score = cosine over embeddings fused with Jaro-Winkler / Levenshtein on
+identifiers (north_star), plus exact token-shingle Jaccard when requested.
+
+Scale notes: the self-join shuffles once on block_key; dedup of pairs that
+co-occur in several blocks is a groupBy on (id_a, id_b) — both AQE-managed.
+Block caps/salting upstream (blocking.py) bound the quadratic fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mel_spark.functions import text as T
+from mel_spark.functions import vectors as V
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """blocks(block_key, mention_id) → distinct (mention_id_a < mention_id_b)
+    pairs, keeping one (deterministic: min) originating block key."""
+    a = blocks.select("block_key", F.col("mention_id").alias("mention_id_a"))
+    b = blocks.select("block_key", F.col("mention_id").alias("mention_id_b"))
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("mention_id_a") < F.col("mention_id_b"))
+        .groupBy("mention_id_a", "mention_id_b")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str = "mention_id",
+    emb_col: str | None = "emb",
+    ident_col: str | None = "path",
+    content_col: str | None = None,
+    shingle_n: int = 3,
+    w_cos: float = 0.7,
+    w_jw: float = 0.15,
+    w_lev: float = 0.15,
+) -> DataFrame:
+    """Attach per-pair similarity features and a fused score ∈ [0,1].
+
+    Joins each side of the pair to its record (two shuffles on mention_id —
+    records are the small(er) side after dedup; Catalyst broadcasts when it
+    fits) and computes: cosine on ``emb_col``, Jaro-Winkler + Levenshtein on
+    ``ident_col``, optional exact shingle-Jaccard on ``content_col``.
+    """
+    from mel_spark.functions.strings import jaro_winkler_udf, levenshtein_norm_udf
+
+    cols = [F.col(id_col).alias("_id")]
+    if emb_col:
+        cols.append(F.col(emb_col).alias("_emb"))
+    if ident_col:
+        cols.append(F.col(ident_col).alias("_ident"))
+    if content_col:
+        cols.append(F.array_sort(T.shingles(content_col, shingle_n)).alias("_sh"))
+    side = records.select(*cols)
+
+    out = (
+        pairs.join(
+            side.select(
+                F.col("_id").alias("mention_id_a"),
+                *[F.col(c).alias(c + "_a") for c in side.columns if c != "_id"],
+            ),
+            "mention_id_a",
+        )
+        .join(
+            side.select(
+                F.col("_id").alias("mention_id_b"),
+                *[F.col(c).alias(c + "_b") for c in side.columns if c != "_id"],
+            ),
+            "mention_id_b",
+        )
+    )
+
+    score = F.lit(0.0)
+    total_w = 0.0
+    if emb_col:
+        out = out.withColumn("cos", V.cosine(F.col("_emb_a"), F.col("_emb_b")))
+        score = score + F.lit(w_cos) * F.col("cos")
+        total_w += w_cos
+    if ident_col:
+        out = out.withColumn("jw", F.round(jaro_winkler_udf("_ident_a", "_ident_b"), 6))
+        out = out.withColumn("lev", F.round(levenshtein_norm_udf("_ident_a", "_ident_b"), 6))
+        score = score + F.lit(w_jw) * F.col("jw") + F.lit(w_lev) * F.col("lev")
+        total_w += w_jw + w_lev
+    if content_col:
+        inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+        union = F.size("_sh_a") + F.size("_sh_b") - inter
+        out = out.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6)
+        )
+    out = out.withColumn("score", F.round(score / F.lit(total_w or 1.0), 6))
+    drop = [c for c in out.columns if c.startswith("_")]
+    return out.drop(*drop)
+
+
+def match_pairs(scored: DataFrame, threshold: float = 0.85, score_col: str = "score") -> DataFrame:
+    """Threshold the fused score — the match decision (reference analogue:
+    candidate-in-top-k membership, src/models/recall_calculator.py:100-110)."""
+    return scored.filter(F.col(score_col) >= threshold)

