@@ -1,38 +1,757 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full ER mini-pipeline (LSH blocking → verified
+                jaccard pairs → connected components) over sf0.001 documents.
+queries()     — one entry per implemented operator family (SURVEY.md §2 ids in
+                each docstring); each callable (spark, sf_dir) → DataFrame.
+oracle_sql()  — DuckDB twins. All hashing bottoms out in md5 (bit-identical
+                across engines, parity-tested in tests/test_oracle_parity.py);
+                double aggregation goes through DECIMAL casts so sums are
+                exact; every float output is rounded.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from mel_spark.functions import oracle as O
+from mel_spark.functions import text as T
+from mel_spark.functions import vectors as V
+
+# ---------------------------------------------------------------------------
+# shared constants (Spark and SQL sides must agree)
+# ---------------------------------------------------------------------------
+SHINGLE_N = 3
+MH_HASHES = 32
+MH_BANDS = 16
+MH_ROWS = MH_HASHES // MH_BANDS
+JACCARD_T = 0.3
+KNN_K = 5
+KNN_MAX_QID = 50
+SIMHASH_BITS = 16
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# ER family over `documents` (SURVEY §7.1; A1/A2/A8/J4 analogues)
+# ---------------------------------------------------------------------------
+
+def _doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh, sig) via staged projections: the shingle build and
+    its single md5 pass each live in their own Project (CollapseProject will
+    not duplicate non-cheap expressions into the 32 permutation subtrees)."""
+    return (
+        docs.select("doc_id", "lang", T.shingles("text", SHINGLE_N).alias("sh"))
+        .select("doc_id", "lang", "sh", T.shingle_int_hashes(F.col("sh")).alias("xs"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_sort("sh").alias("sh"),
+            T.minhash_signature_from_ints(F.col("xs"), MH_HASHES).alias("sig"),
+        )
+    )
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-collision candidates, exact-verified at JACCARD_T (dedup op:
+    minhash→verify; ref alias-table blocking A2 src/baselines/olpeat/find_recall.py:76-91).
+
+    The per-doc feature table is persisted: both self-join sides and the
+    verification join reuse it instead of recomputing the hash pass."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = _doc_features(docs).persist()
+    blocks = feats.select(
+        "doc_id", F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key")
+    )
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sh = feats.select("doc_id", "sh")
+    joined = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")), "doc_id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# staged CTEs: the md5 pass (xs) is computed once, not once per permutation —
+# mirrors the staged Spark projections in _doc_features
+_MINHASH_PAIRS_SQL_BODY = f"""
+WITH sh0 AS (
+  SELECT doc_id, {O.shingles('text', SHINGLE_N)} AS sh FROM documents
+),
+sig0 AS (
+  SELECT doc_id, list_sort(sh) AS sh,
+         {O.minhash_signature_from_ints('xs', MH_HASHES)} AS sig
+  FROM (SELECT doc_id, sh, {O.shingle_int_hashes('sh')} AS xs FROM sh0)
+),
+blocks AS (
+  SELECT doc_id, unnest({O.minhash_band_keys('sig', MH_BANDS, MH_ROWS)}) AS band_key
+  FROM sig0
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+  FROM blocks x JOIN blocks y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+  FROM cand c JOIN sig0 a ON c.doc_id_a = a.doc_id JOIN sig0 b ON c.doc_id_b = b.doc_id
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+
+def q_er_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs_df(spark, sf_dir)
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: verified near-dup pairs → large-star/small-star connected
+    components → (doc_id, cluster_id = min member). Singletons included."""
+    from mel_spark.operators.cluster import attach_singletons, connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs_df(spark, sf_dir)
+    cc = connected_components(pairs, "doc_id_a", "doc_id_b")
+    return attach_singletons(cc, docs.select(F.col("doc_id").alias("mention_id"))).select(
+        F.col("mention_id").alias("doc_id"), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+_ER_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL_BODY}),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+cc(n, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.n WHERE cc.lbl < e.v
+)
+SELECT n AS doc_id, min(lbl)::BIGINT AS cluster_id FROM cc GROUP BY n
+"""
+
+
+def q_er_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/OnlyOnceDataset: byte-identical text groups (content_sha key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(T.content_sha("text").alias("content_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def q_er_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc fingerprint (winnowing-lite min-md5 over 8-gram shingles) groups."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(T.doc_fingerprint("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def q_er_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch dedup: identical 16-bit sketches."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", T.shingle_int_hashes(T.shingles("text", SHINGLE_N)).alias("xs")
+    )
+    return (
+        staged.groupBy(T.simhash_from_ints(F.col("xs"), SIMHASH_BITS).alias("simhash"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def q_er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking skew diagnostics per lang: blocks, max block size, pair fanout
+    (the quantity salting bounds; north_rule skew handling)."""
+    docs = _t(spark, sf_dir, "documents")
+    blocks = _doc_features(docs).select(
+        "lang",
+        F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key"),
+    )
+    per_block = blocks.groupBy("lang", "band_key").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        per_block.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("sz").alias("max_block_size"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("pair_fanout"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval family over `embeddings` (J4/J6/A6/W2, O2)
+# ---------------------------------------------------------------------------
+
+def q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k by cosine (BruteForceSearcher semantics,
+    src/models/searchers/brute_force_searcher.py:29-36), ties by neighbor id."""
+    from mel_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K
+    ).select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+def q_knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/J6: recall@5 of same-label neighbors (labels play the gold-QID role,
+    src/models/recall_calculator.py:43-69)."""
+    from mel_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K)
+    lbl = emb.select("vec_id", "label")
+    hits = (
+        topk.join(lbl.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")), "query_id")
+        .join(lbl.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")), "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(F.max((F.col("n_label") == F.col("q_label")).cast("int")).alias("hit"))
+    )
+    return hits.select(
+        F.round(F.avg("hit"), 6).alias("recall_at_k"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    )
+
+
+def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats (exact float min/max — no fp-order ambiguity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(F.element_at("embedding", 1)).cast("double"), 6).alias("min_d1"),
+        F.round(F.max(F.element_at("embedding", 1)).cast("double"), 6).alias("max_d1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alias table family (A1/A2/W1/J2) on lineitem
+# ---------------------------------------------------------------------------
+
+def q_alias_table_topr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: groupBy(alias=partkey) count per entity(=suppkey), keep top-3 by
+    count (ties by entity) — string_alias_tables/all_languages.py:93-115."""
+    from mel_spark.operators.alias_table import build_alias_table
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    at = build_alias_table(li, "l_partkey", "l_suppkey", top_r=3)
+    return at.select(
+        F.col("alias").cast("long").alias("partkey"),
+        F.col("entity").cast("long").alias("suppkey"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_alias_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J6: probe the alias table with every lineitem of the same key range;
+    hit = the row's suppkey is among the top-3 candidates; output hit rate."""
+    from mel_spark.operators.alias_table import alias_candidates, build_alias_table, probe_alias_table
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    at = alias_candidates(build_alias_table(li, "l_partkey", "l_suppkey", top_r=3))
+    probed = probe_alias_table(li, at, "l_partkey", "l_suppkey")
+    return probed.select(
+        F.round(F.avg(F.col("hit").cast("double")), 6).alias("hit_rate"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style operator coverage (S/P/J/A/W/O/U/F rows of SURVEY §2)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family partial/final aggregation; DECIMAL-exact sums (Q1-like)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_topn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family 3-way join + group + exact top-10 (Q3-like)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 known-qid filter as left-semi join (generate_epochs/datasets.py:95-101)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 prohibited-mask as anti join (negative_sampler.py:68-109)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_per_key_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/W4 per-key cap: top-3 orders per customer (index.py:102-120)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.col("o_totalprice").cast("decimal(18,2)")), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2).alias("totalprice"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 ChainStep union (chain.py:5-17): nations seen in customers ∪ suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 set-difference diagnostics (generate.py:37-57)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s)
+
+
+def q_redirect_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 redirect remap (qids_remap.py:35-55): remap odd nationkeys n→n-1 via a
+    broadcast map; count customers per remapped nation."""
+    from mel_spark.operators.remap import remap_ids
+
+    c = _t(spark, sf_dir, "customer")
+    redirects = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 25, 2)], ["old_entity_id", "new_entity_id"]
+    )
+    remapped = remap_ids(
+        c.select(F.col("c_custkey"), F.col("c_nationkey").cast("long").alias("nation")),
+        redirects,
+        "nation",
+    )
+    return remapped.groupBy("nation").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_qid_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 'Q123'→123 parse (qid_parsing.py:1-2) on Supplier#000000001 names."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.substring(F.col("s_name"), 10, 9).cast("long").alias("parsed_id"),
+    ).filter(F.col("parsed_id").isNotNull())
+
+
+def q_crop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 char-window crop with [M] markers (tokenizers/cutting.py:30-53):
+    crop 40 chars centered mid-text, wrap the middle 10 in label tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    start = F.greatest(F.floor(F.length("text") / 2) - 20, F.lit(1)).cast("int")
+    crop = F.substring(F.col("text"), start, 40)
+    marked = F.concat(
+        F.substring(crop, 1, 15), F.lit("[M]"), F.substring(crop, 16, 10), F.lit("[M]"),
+        F.substring(crop, 26, 15),
+    )
+    return docs.select("doc_id", crop.alias("crop"), marked.alias("marked"))
+
+
+def q_hash_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/P9 hex-hash mod sharding (gathers.py:13-15): md5-bucket the docs."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"), F.lit(8))
+    return docs.groupBy(bucket.cast("int").alias("bucket")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family over `documents`
+# ---------------------------------------------------------------------------
+
+def q_ta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def q_ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.num_tokens("text").alias("n_tokens"),
+        F.size(T.shingles("text", SHINGLE_N)).alias("n_shingles"),
+        F.size(F.array_distinct(T.tokens("text"))).alias("n_distinct_tokens"),
+    )
+
+
+def q_ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID; argmax with fixed precedence order."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.langid_scores("text")
+    out = docs.select("doc_id", "lang", *scores)
+    langs = list(T.LANG_MARKERS.keys())
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → build from the back
+        pred = F.when((best > 0) & (F.col(f"score_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return out.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def q_ta_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio("text", T.LANG_MARKERS["en"]), 6).alias("stop_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events family (windowed/sessionized batch analytics)
+# ---------------------------------------------------------------------------
+
+def q_ev_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour buckets per event_type (batch twin of the streaming
+    window op in mel_spark/streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 3600).cast("long")
+    return ev.groupBy(bucket.alias("hour_bucket"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value").cast("double"), 6).alias("min_value"),
+        F.round(F.max("value").cast("double"), 6).alias("max_value"),
+    )
+
+
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) via lag + running sum —
+    stateful-op analogue expressed as windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(w)
+    per_session = (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_er_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "er_minhash_pairs": q_er_minhash_pairs,
+        "er_clusters": q_er_clusters,
+        "er_exact_dedup": q_er_exact_dedup,
+        "er_fingerprint_groups": q_er_fingerprint_groups,
+        "er_simhash_groups": q_er_simhash_groups,
+        "er_blocking_stats": q_er_blocking_stats,
+        "knn_top5": q_knn_top5,
+        "knn_recall_at_k": q_knn_recall_at_k,
+        "emb_label_stats": q_emb_label_stats,
+        "alias_table_topr": q_alias_table_topr,
+        "alias_probe_recall": q_alias_probe_recall,
+        "pricing_summary": q_pricing_summary,
+        "join_topn_revenue": q_join_topn_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "per_key_cap": q_per_key_cap,
+        "union_distinct": q_union_distinct,
+        "set_except": q_set_except,
+        "redirect_remap": q_redirect_remap,
+        "qid_parse": q_qid_parse,
+        "crop_window": q_crop_window,
+        "hash_bucket_counts": q_hash_bucket_counts,
+        "ta_quality": q_ta_quality,
+        "ta_token_stats": q_ta_token_stats,
+        "ta_langid": q_ta_langid,
+        "ta_stopword_ratio": q_ta_stopword_ratio,
+        "ev_tumbling_counts": q_ev_tumbling_counts,
+        "ev_sessionize": q_ev_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh = O.shingles("text", SHINGLE_N)
+    langs = list(T.LANG_MARKERS.keys())
+    langid_cases = " ".join(
+        f"WHEN best > 0 AND score_{lg} = best THEN '{lg}'" for lg in langs
+    )
+    langid_scores = ", ".join(
+        f"{O.langid_score('text', T.LANG_MARKERS[lg])} AS score_{lg}" for lg in langs
+    )
+    return {
+        "er_minhash_pairs": _MINHASH_PAIRS_SQL_BODY,
+        "er_clusters": _ER_CLUSTERS_SQL,
+        "er_exact_dedup": f"""
+            SELECT {O.content_sha('text')} AS content_sha, count(*) AS group_size,
+                   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "er_fingerprint_groups": f"""
+            SELECT {O.doc_fingerprint('text')} AS fp, count(*) AS group_size,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "er_simhash_groups": f"""
+            SELECT {O.simhash64(sh, SIMHASH_BITS)} AS simhash, count(*) AS group_size,
+                   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "er_blocking_stats": f"""
+            WITH sig0 AS (
+              SELECT lang, {O.minhash_signature_from_ints('xs', MH_HASHES)} AS sig
+              FROM (SELECT lang, {O.shingle_int_hashes(sh)} AS xs FROM documents)
+            ), blocks AS (
+              SELECT lang, unnest({O.minhash_band_keys('sig', MH_BANDS, MH_ROWS)}) AS band_key
+              FROM sig0
+            ), per_block AS (
+              SELECT lang, band_key, count(*) AS sz FROM blocks GROUP BY 1, 2
+            )
+            SELECT lang, count(*) AS n_blocks, max(sz) AS max_block_size,
+                   (sum(sz * (sz - 1) / 2))::BIGINT AS pair_fanout
+            FROM per_block GROUP BY lang
+        """,
+        "knn_top5": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+                     {O.cosine('q.embedding', 'i.embedding')} AS cos
+              FROM embeddings q JOIN embeddings i ON q.vec_id != i.vec_id
+              WHERE q.vec_id < {KNN_MAX_QID}
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+        """,
+        "knn_recall_at_k": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, q.label AS q_label, i.label AS n_label,
+                     {O.cosine('q.embedding', 'i.embedding')} AS cos, i.vec_id AS neighbor_id
+              FROM embeddings q JOIN embeddings i ON q.vec_id != i.vec_id
+              WHERE q.vec_id < {KNN_MAX_QID}
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ), hits AS (
+              SELECT query_id, max(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS hit
+              FROM ranked WHERE rank <= {KNN_K} GROUP BY query_id
+            )
+            SELECT round(avg(hit), 6) AS recall_at_k, count(*)::BIGINT AS n_queries FROM hits
+        """,
+        "emb_label_stats": """
+            SELECT label, count(*) AS n,
+                   round(min(embedding[1])::DOUBLE, 6) AS min_d1,
+                   round(max(embedding[1])::DOUBLE, 6) AS max_d1
+            FROM embeddings GROUP BY label
+        """,
+        "alias_table_topr": """
+            WITH counted AS (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey, count(*) AS cnt
+              FROM lineitem WHERE l_partkey < 200 GROUP BY 1, 2
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY partkey ORDER BY cnt DESC, suppkey ASC) AS rank
+              FROM counted
+            )
+            SELECT partkey, suppkey, cnt, rank::INT AS rank FROM ranked WHERE rank <= 3
+        """,
+        "alias_probe_recall": """
+            WITH counted AS (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey, count(*) AS cnt
+              FROM lineitem WHERE l_partkey < 200 GROUP BY 1, 2
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY partkey ORDER BY cnt DESC, suppkey ASC) AS rank
+              FROM counted
+            ), cands AS (
+              SELECT partkey, list(suppkey ORDER BY rank) AS candidates
+              FROM ranked WHERE rank <= 3 GROUP BY partkey
+            ), probes AS (
+              SELECT CASE WHEN list_contains(c.candidates, li.l_suppkey) THEN 1.0 ELSE 0.0 END AS hit
+              FROM lineitem li LEFT JOIN cands c ON li.l_partkey = c.partkey
+              WHERE li.l_partkey < 200
+            )
+            SELECT round(avg(hit), 6) AS hit_rate, count(*)::BIGINT AS n_probes FROM probes
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+                   (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+                   (sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_topn_revenue": """
+            SELECT o.o_orderkey AS orderkey,
+                   (sum(l.l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))))::DOUBLE AS revenue
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1 ORDER BY revenue DESC, orderkey ASC LIMIT 10
+        """,
+        "semi_join": """
+            SELECT o_orderpriority, count(*) AS n_orders FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = orders.o_orderkey AND l.l_discount > 0.05)
+            GROUP BY o_orderpriority
+        """,
+        "anti_join": """
+            SELECT c_nationkey, count(*) AS n_customers FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "per_key_cap": """
+            WITH ranked AS (
+              SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                     round(o_totalprice::DECIMAL(18,2)::DOUBLE, 2) AS totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice::DECIMAL(18,2) DESC, o_orderkey ASC) AS rank
+              FROM orders WHERE o_custkey < 100
+            )
+            SELECT custkey, orderkey, totalprice, rank::INT AS rank FROM ranked WHERE rank <= 3
+        """,
+        "union_distinct": """
+            SELECT nationkey, count(*) AS n_rows FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier
+            ) GROUP BY nationkey
+        """,
+        "set_except": """
+            SELECT nationkey FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+            EXCEPT ALL
+            SELECT nationkey FROM (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        """,
+        "redirect_remap": """
+            WITH redirects AS (
+              SELECT (2 * g + 1) AS old_id, (2 * g) AS new_id FROM range(0, 12) t(g)
+            )
+            SELECT coalesce(r.new_id, c.c_nationkey)::BIGINT AS nation, count(*) AS n_customers
+            FROM customer c LEFT JOIN redirects r ON c.c_nationkey = r.old_id
+            GROUP BY 1
+        """,
+        "qid_parse": """
+            SELECT s_suppkey AS suppkey, substr(s_name, 10, 9)::BIGINT AS parsed_id
+            FROM supplier WHERE substr(s_name, 10, 9) IS NOT NULL
+        """,
+        "crop_window": """
+            WITH c AS (
+              SELECT doc_id, substr(text, greatest((length(text) // 2) - 20, 1)::INT, 40) AS crop
+              FROM documents
+            )
+            SELECT doc_id, crop,
+                   substr(crop, 1, 15) || '[M]' || substr(crop, 16, 10) || '[M]' || substr(crop, 26, 15) AS marked
+            FROM c
+        """,
+        "hash_bucket_counts": """
+            SELECT (('0x' || substr(md5(text), 1, 15))::BIGINT % 8)::INT AS bucket, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "ta_quality": f"SELECT doc_id, {O.quality_score('text')} AS quality FROM documents",
+        "ta_token_stats": f"""
+            SELECT doc_id, {O.num_tokens('text')} AS n_tokens,
+                   len({sh}) AS n_shingles,
+                   len(list_distinct({O.tokens('text')})) AS n_distinct_tokens
+            FROM documents
+        """,
+        "ta_langid": f"""
+            WITH s AS (SELECT doc_id, lang, {langid_scores},
+                       greatest({', '.join(f'score_{lg}' for lg in langs)}) AS best
+                       FROM (SELECT doc_id, lang, text, {langid_scores} FROM documents))
+            SELECT doc_id, lang, CASE {langid_cases} ELSE 'und' END AS pred_lang FROM s
+        """,
+        "ta_stopword_ratio": f"""
+            SELECT doc_id, round({O.stopword_ratio('text', T.LANG_MARKERS['en'])}, 6) AS stop_ratio
+            FROM documents
+        """,
+        "ev_tumbling_counts": """
+            SELECT (floor(epoch(ts))::BIGINT // 3600) AS hour_bucket, event_type,
+                   count(*) AS n_events,
+                   round(min(value)::DOUBLE, 6) AS min_value,
+                   round(max(value)::DOUBLE, 6) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "ev_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            ), per_session AS (
+              SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, count(*)::BIGINT AS n_sessions, max(n_events) AS max_session_events
+            FROM per_session GROUP BY user_id
+        """,
+    }

@@ -29,17 +29,37 @@ def shingles(text: str, n: int = 3) -> str:
     )
 
 
-def minhash_signature(shingle_expr: str, num_hashes: int = 16, prefix: str = "mh") -> str:
+def shingle_int_hashes(shingle_expr: str) -> str:
+    from mel_spark.functions.text import MINHASH_M
+
+    return (
+        f"list_transform({shingle_expr}, "
+        f"s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_M})"
+    )
+
+
+def minhash_signature(shingle_expr: str, num_hashes: int = 16, seed: int = 42) -> str:
+    """Inline form — re-evaluates the md5 pass per permutation. Only for tiny
+    parity tests; real oracles stage the int hashes once via
+    minhash_signature_from_ints (see __spark_entry__ CTEs)."""
+    return minhash_signature_from_ints(shingle_int_hashes(shingle_expr), num_hashes, seed)
+
+
+def minhash_signature_from_ints(xs_expr: str, num_hashes: int = 16, seed: int = 42) -> str:
+    """Permutation minima over a (preferably CTE-staged) int-hash list expr."""
+    from mel_spark.functions.text import MINHASH_P, _minhash_params
+
     parts = ", ".join(
-        f"list_min(list_transform({shingle_expr}, s -> md5('{prefix}{j}:' || s)))"
-        for j in range(num_hashes)
+        f"list_min(list_transform({xs_expr}, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in _minhash_params(num_hashes, seed)
     )
     return f"[{parts}]"
 
 
 def minhash_band_keys(sig_expr: str, bands: int, rows: int) -> str:
+    strs = f"list_transform({sig_expr}, v -> v::VARCHAR)"
     keys = ", ".join(
-        f"'b{i}:' || md5(array_to_string(({sig_expr})[{i * rows + 1}:{i * rows + rows}], '|'))"
+        f"'b{i}:' || md5(array_to_string(({strs})[{i * rows + 1}:{i * rows + rows}], '|'))"
         for i in range(bands)
     )
     return f"[{keys}]"

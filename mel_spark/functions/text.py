@@ -40,19 +40,59 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16, prefix: str = "mh") -> Column:
-    """MinHash signature: for seed j, min over shingles of md5(f'{prefix}{j}:'||s).
+# universal-hash parameters: P = 2^31-1, M truncates the base hash so
+# a*x+b stays < 2^61 (ANSI-overflow-safe). Seeds are fixed (deterministic).
+MINHASH_P = 2147483647
+MINHASH_M = 1 << 30
 
-    Returns array<string> of length ``num_hashes`` (hex minima). The seed is a
-    string prefix so Spark and DuckDB compute byte-identical hashes.
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MINHASH_P)), int(rng.integers(0, MINHASH_P)))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_int_hashes(shingle_col: Column) -> Column:
+    """One md5 per shingle → 60-bit int, truncated mod M. This is the single
+    expensive hash; all minhash permutations derive from it by integer math."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % F.lit(MINHASH_M),
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+    """MinHash signature as array<long>: sig[j] = min over shingles of
+    (a_j·x + b_j) mod P, where x = md5-derived int of the shingle.
+
+    One md5 per shingle total (not per permutation) — the permutations are
+    cheap integer ops, ~num_hashes× cheaper than hashing per permutation.
+    Cross-engine deterministic: identical arithmetic in DuckDB
+    (oracle.minhash_signature); all operands non-negative so % == mod.
     """
-    def _hasher(j: int):
-        # closure factory: Spark's lambda introspection counts default args,
-        # so `lambda s, j=j` would be mis-read as a 2-ary HOF lambda
-        return lambda s: F.md5(F.concat(F.lit(f"{prefix}{j}:"), s))
+    return minhash_signature_from_ints(shingle_int_hashes(shingle_col), num_hashes, seed)
 
-    sig = [F.array_min(F.transform(shingle_col, _hasher(j))) for j in range(num_hashes)]
-    return F.array(*sig)
+
+def minhash_signature_from_ints(xs_col: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+    """Signature from a pre-materialized int-hash array column.
+
+    Hot paths should project ``shingle_int_hashes`` into its own column FIRST
+    (a Project boundary stops CollapseProject from duplicating the md5 pass
+    into all ``num_hashes`` permutation subtrees)."""
+
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(xs_col, _perm(a, b)))
+            for a, b in _minhash_params(num_hashes, seed)
+        ]
+    )
 
 
 def minhash_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
@@ -62,28 +102,31 @@ def minhash_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
     MinHash-LSH equi-join key (this is the Spark-native form of the reference's
     ScaNN partitioning, src/models/searchers/scann_searcher.py:21-49).
     """
+    strs = F.transform(sig_col, lambda v: v.cast("string"))
     keys = [
         F.concat(
             F.lit(f"b{i}:"),
-            F.md5(F.concat_ws("|", F.slice(sig_col, i * rows + 1, rows))),
+            F.md5(F.concat_ws("|", F.slice(strs, i * rows + 1, rows))),
         )
         for i in range(bands)
     ]
     return F.array(*keys)
 
 
-def simhash64(shingle_col: Column, bits: int = 32) -> Column:
-    """SimHash over shingles: per-bit majority vote of 60-bit md5-derived hashes.
+def simhash64(shingle_col: Column, bits: int = 30) -> Column:
+    """SimHash over shingles: per-bit majority vote of md5-derived int hashes.
+    Convenience wrapper; hot paths pre-project shingle_int_hashes and call
+    simhash_from_ints. ``bits`` ≤ 30 (int hashes are truncated mod 2^30,
+    which preserves the low 30 bits of the md5 value exactly)."""
+    return simhash_from_ints(shingle_int_hashes(shingle_col), bits)
 
-    Implemented as pure column expressions: for each bit position, count
-    shingles whose hash has that bit set; bit is 1 iff count*2 >= n_shingles.
-    ``bits`` ≤ 60 (we take 15 hex chars → signed-safe 60-bit integers).
-    """
-    h = F.transform(
-        shingle_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
-    n = F.size(shingle_col)
+
+def simhash_from_ints(xs_col: Column, bits: int = 30) -> Column:
+    """Per-bit majority vote over a pre-materialized int-hash array column:
+    bit b is 1 iff ≥ half the hashes have bit b set."""
+    assert bits <= 30, "int hashes carry 30 low bits"
+    h = xs_col
+    n = F.size(xs_col)
     out = F.lit(0).cast("long")
     for b in range(bits):
         def _bit_counter(mask_val: int):

@@ -48,17 +48,29 @@ def minhash_blocks(
     rows, j=0.7 collides with p≈0.996."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = T.minhash_signature(T.shingles(content_col, shingle_n), num_hashes)
-    keys = T.minhash_band_keys(sig, bands, rows)
     lang_prefix: Column = (
         F.concat(F.col(lang_col), F.lit("/")) if lang_col else F.lit("")
     )
-    return df.select(
-        F.col(id_col).alias("mention_id"),
-        F.explode(keys).alias("band_key"),
-        lang_prefix.alias("_lp"),
+    # staged projections: shingle build → single md5 pass → permutations
+    staged = (
+        df.select(
+            F.col(id_col).alias("mention_id"),
+            lang_prefix.alias("_lp"),
+            T.shingles(content_col, shingle_n).alias("_sh"),
+        )
+        .select("mention_id", "_lp", T.shingle_int_hashes(F.col("_sh")).alias("_xs"))
+        .select(
+            "mention_id",
+            "_lp",
+            T.minhash_signature_from_ints(F.col("_xs"), num_hashes).alias("_sig"),
+        )
+    )
+    return staged.select(
+        "mention_id",
+        F.explode(T.minhash_band_keys(F.col("_sig"), bands, rows)).alias("_bk"),
+        "_lp",
     ).select(
-        F.concat(F.lit("mh:"), F.col("_lp"), F.col("band_key")).alias("block_key"),
+        F.concat(F.lit("mh:"), F.col("_lp"), F.col("_bk")).alias("block_key"),
         "mention_id",
     )
 

@@ -55,10 +55,14 @@ def _minhash_candidates(
     """Distinct candidate id pairs from minhash band collisions."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = T.minhash_signature(T.shingles(text_col, shingle_n), num_hashes)
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.minhash_band_keys(sig, bands, rows)).alias("band_key"),
+    keyed = (
+        docs.select(F.col(id_col).alias("doc_id"), T.shingles(text_col, shingle_n).alias("_sh"))
+        .select("doc_id", T.shingle_int_hashes(F.col("_sh")).alias("_xs"))
+        .select("doc_id", T.minhash_signature_from_ints(F.col("_xs"), num_hashes).alias("_sig"))
+        .select(
+            "doc_id",
+            F.explode(T.minhash_band_keys(F.col("_sig"), bands, rows)).alias("band_key"),
+        )
     )
     a = keyed.select("band_key", F.col("doc_id").alias("doc_id_a"))
     b = keyed.select("band_key", F.col("doc_id").alias("doc_id_b"))
@@ -125,9 +129,10 @@ def simhash_groups(docs: DataFrame, id_col: str, text_col: str = "text", bits: i
     """Docs sharing an identical ``bits``-bit simhash (sketch-level near-dup)."""
     return (
         docs.select(
-            T.simhash64(T.shingles(text_col, 3), bits).alias("simhash"),
             F.col(id_col).alias("doc_id"),
+            T.shingle_int_hashes(T.shingles(text_col, 3)).alias("_xs"),
         )
+        .select("doc_id", T.simhash_from_ints(F.col("_xs"), bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"), F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") >= 2)
