@@ -35,7 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     from mel_spark.session import get_spark
     from mel_spark.pipeline import ERConfig, run_pipeline
 
-    spark = get_spark("er_job")
+    # static auto-broadcast OFF: Catalyst's size estimates for UDF-produced
+    # relations (the embedding stage) are unreliable and a mis-broadcast OOMs;
+    # AQE still converts SMJ→BHJ from real shuffle sizes, and known-small
+    # sides (redirect maps, salt tables) use explicit broadcast()
+    spark = get_spark("er_job", extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"})
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
 
@@ -47,7 +51,12 @@ def main(argv: list[str] | None = None) -> int:
         repos = spark.createDataFrame(tables["repos"])
         gold = spark.createDataFrame(tables["reference_clusters"])
     elif args.input:
-        repos = spark.read.parquet(f"{args.input}/repos.parquet")
+        # a single small parquet file arrives as one split; spread it so every
+        # core scans/embeds/blocks in parallel (real deployments read many
+        # splits — this mirrors that shape, it does not fake work)
+        repos = spark.read.parquet(f"{args.input}/repos.parquet").repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
         try:
             gold = spark.read.parquet(f"{args.input}/reference_clusters.parquet")
         except Exception:
@@ -57,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = ERConfig() if args.threshold is None else ERConfig(threshold=args.threshold)
     out = run_pipeline(spark, repos, args.checkpoint, cfg)
+    from mel_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(args.checkpoint)
+    stage_times = {}
+    for st in ("ingest", "embed", "blocks", "pairs", "clusters"):
+        try:
+            stage_times[st] = mgr.counters(st).get("elapsed_sec")
+        except FileNotFoundError:
+            pass
     out["clusters"].write.mode("overwrite").parquet(f"{args.output}/clusters.parquet")
 
     n_pairs = out["scored"].count()
@@ -69,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
         "clusters": out["clusters"].select("cluster_id").distinct().count(),
         "elapsed_sec": round(elapsed, 2),
         "candidate_pairs_per_sec": round(n_pairs / elapsed, 1),
+        "stage_sec": stage_times,
+        "pairs_stage_pairs_per_sec": (
+            round(n_pairs / stage_times["pairs"], 1) if stage_times.get("pairs") else None
+        ),
     }
     if gold is not None:
         from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf

@@ -46,24 +46,36 @@ def minhash_blocks(
     """(lang, minhash-band) LSH blocks. num_hashes = bands × rows; two docs
     share ≥1 key with prob 1-(1-j^rows)^bands for Jaccard j — with 8 bands × 2
     rows, j=0.7 collides with p≈0.996."""
+    # staged projections: shingle build → single md5 pass → permutations
+    staged = df.select(
+        F.col(id_col).alias("mention_id"),
+        (F.concat(F.col(lang_col), F.lit("/")) if lang_col else F.lit("")).alias("_lp"),
+        T.shingles(content_col, shingle_n).alias("_sh"),
+    ).select("mention_id", "_lp", T.shingle_int_hashes(F.col("_sh")).alias("_xs"))
+    return minhash_blocks_from_ints(
+        staged, "mention_id", "_xs", lang_prefix_col="_lp",
+        num_hashes=num_hashes, bands=bands,
+    )
+
+
+def minhash_blocks_from_ints(
+    df: DataFrame,
+    id_col: str,
+    xs_col: str,
+    lang_prefix_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Band keys from a pre-materialized shingle-int-hash column (the 100 TB
+    path: the md5 pass is paid once at the embed/ingest checkpoint and reused
+    by blocking AND jaccard verification)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    lang_prefix: Column = (
-        F.concat(F.col(lang_col), F.lit("/")) if lang_col else F.lit("")
-    )
-    # staged projections: shingle build → single md5 pass → permutations
-    staged = (
-        df.select(
-            F.col(id_col).alias("mention_id"),
-            lang_prefix.alias("_lp"),
-            T.shingles(content_col, shingle_n).alias("_sh"),
-        )
-        .select("mention_id", "_lp", T.shingle_int_hashes(F.col("_sh")).alias("_xs"))
-        .select(
-            "mention_id",
-            "_lp",
-            T.minhash_signature_from_ints(F.col("_xs"), num_hashes).alias("_sig"),
-        )
+    lp: Column = F.col(lang_prefix_col) if lang_prefix_col else F.lit("")
+    staged = df.select(
+        F.col(id_col).alias("mention_id"),
+        lp.alias("_lp"),
+        T.minhash_signature_from_ints(F.col(xs_col), num_hashes).alias("_sig"),
     )
     return staged.select(
         "mention_id",

@@ -39,6 +39,7 @@ def score_pairs(
     emb_col: str | None = "emb",
     ident_col: str | None = "path",
     content_col: str | None = None,
+    hash_col: str | None = None,
     shingle_n: int = 3,
     w_cos: float = 0.7,
     w_jw: float = 0.15,
@@ -49,7 +50,10 @@ def score_pairs(
     Joins each side of the pair to its record (two shuffles on mention_id —
     records are the small(er) side after dedup; Catalyst broadcasts when it
     fits) and computes: cosine on ``emb_col``, Jaro-Winkler + Levenshtein on
-    ``ident_col``, optional exact shingle-Jaccard on ``content_col``.
+    ``ident_col``, exact shingle-Jaccard on ``content_col`` — or, preferred at
+    scale, on ``hash_col``: a pre-materialized sorted-distinct shingle-int-hash
+    array (8-byte ints shuffle ~8× lighter than shingle strings and intersect
+    faster; md5-collision error ≤ ~n²/2³¹ per doc, immaterial to thresholds).
     """
     from mel_spark.functions.strings import jaro_winkler_udf, levenshtein_norm_udf
 
@@ -58,7 +62,9 @@ def score_pairs(
         cols.append(F.col(emb_col).alias("_emb"))
     if ident_col:
         cols.append(F.col(ident_col).alias("_ident"))
-    if content_col:
+    if hash_col:
+        cols.append(F.col(hash_col).alias("_sh"))
+    elif content_col:
         cols.append(F.array_sort(T.shingles(content_col, shingle_n)).alias("_sh"))
     side = records.select(*cols)
 
@@ -90,7 +96,7 @@ def score_pairs(
         out = out.withColumn("lev", F.round(levenshtein_norm_udf("_ident_a", "_ident_b"), 6))
         score = score + F.lit(w_jw) * F.col("jw") + F.lit(w_lev) * F.col("lev")
         total_w += w_jw + w_lev
-    if content_col:
+    if content_col or hash_col:
         inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
         union = F.size("_sh_a") + F.size("_sh_b") - inter
         out = out.withColumn(

@@ -73,22 +73,35 @@ def ingest(repos: DataFrame) -> DataFrame:
 def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
     """Stage 3: dedup distinct contents BEFORE embedding (the reference's
     wasted-resources lesson, src/baselines/olpeat/at_embeddings.py:4-8), then
-    join vectors back to all mentions on content_sha."""
+    join vectors back to all mentions on content_sha.
+
+    Alongside the embedding we materialize ``xs`` — the sorted distinct
+    md5-int hashes of the content's shingles. Blocking minhash AND jaccard
+    verification both derive from it, so the expensive hash pass is paid once
+    per distinct content and the pair shuffle carries 8-byte ints, not
+    shingle strings."""
     distinct_contents = mentions.select("content_sha", "content").dropDuplicates(["content_sha"])
     embedder = embed_text_udf(dim=cfg.emb_dim, seed=cfg.seed)
-    embs = distinct_contents.select("content_sha", embedder("content").alias("emb"))
-    return mentions.join(embs, "content_sha")
+    feats = distinct_contents.select(
+        "content_sha",
+        embedder("content").alias("emb"),
+        T.shingles("content", cfg.shingle_n).alias("_sh"),
+    ).select(
+        "content_sha",
+        "emb",
+        F.array_sort(F.array_distinct(T.shingle_int_hashes(F.col("_sh")))).alias("xs"),
+    )
+    return mentions.join(feats, "content_sha")
 
 
 def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
     """Stage 4: union of key families, then skew controls (salt → cap)."""
     b_exact = blocking.exact_content_blocks(embedded, "mention_id", "content")
-    b_mh = blocking.minhash_blocks(
-        embedded,
+    b_mh = blocking.minhash_blocks_from_ints(
+        embedded.withColumn("_lp", F.concat("lang", F.lit("/"))),
         "mention_id",
-        "content",
-        lang_col="lang",
-        shingle_n=cfg.shingle_n,
+        "xs",
+        lang_prefix_col="_lp",
         num_hashes=cfg.minhash_hashes,
         bands=cfg.minhash_bands,
     )
@@ -110,7 +123,7 @@ def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
 
 def pair_stage(blocks: DataFrame, embedded: DataFrame, cfg: ERConfig) -> DataFrame:
     cand = pairs.candidate_pairs(blocks)
-    records = embedded.select("mention_id", "emb", "path", "content", "content_sha").dropDuplicates(
+    records = embedded.select("mention_id", "emb", "path", "xs").dropDuplicates(
         ["mention_id"]
     )
     scored = pairs.score_pairs(
@@ -118,8 +131,7 @@ def pair_stage(blocks: DataFrame, embedded: DataFrame, cfg: ERConfig) -> DataFra
         records,
         emb_col="emb",
         ident_col="path" if (cfg.w_jw or cfg.w_lev) else None,
-        content_col="content",
-        shingle_n=cfg.shingle_n,
+        hash_col="xs",
         w_cos=cfg.w_cos,
         w_jw=cfg.w_jw,
         w_lev=cfg.w_lev,

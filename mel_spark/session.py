@@ -39,11 +39,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # --- scan splits: keep small checkpoint tables parallel. Default 128m
+        # bin-packs a whole small stage into 1-2 splits and serializes every
+        # downstream stage; 8m keeps local[32] fed while staying far above
+        # task-overhead territory at cluster scale (tune per deployment) ---
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         # --- Arrow: all Python boundaries are vectorized (input_hint mandate) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # --- broadcast threshold: entity-embedding index broadcast decision ---
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- broadcast threshold: compressed-parquet size estimates understate
+        # in-memory size ~10-20× for array columns, so keep the static
+        # threshold small; AQE upgrades SMJ→BHJ at runtime from ACTUAL shuffle
+        # sizes, and known-small sides use explicit broadcast() ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         # --- deterministic session timezone for reproducible hashing ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("MEL_SPARK_UI", "false"))

@@ -31,6 +31,9 @@ class CheckpointManager:
     run_id: str = field(default_factory=lambda: f"run{int(time.time())}")
     fmt: str = "parquet"
 
+    def __post_init__(self) -> None:
+        self._last_elapsed: dict[str, float] = {}
+
     def _path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
@@ -109,7 +112,19 @@ class CheckpointManager:
         the stage DataFrame; it is not invoked when the checkpoint is valid."""
         if self.exists(stage):
             return self.read(stage, spark), True
-        return self.write(stage, compute(), partition_by=partition_by), False
+        t0 = time.time()
+        out = self.write(stage, compute(), partition_by=partition_by)
+        self._last_elapsed[stage] = time.time() - t0
+        # record the stage wall-time in the marker (bench + lineage metrics)
+        marker = self._marker(stage)
+        with open(marker) as f:
+            meta = json.load(f)
+        meta["elapsed_sec"] = round(self._last_elapsed[stage], 3)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, marker)
+        return out, False
 
     def counters(self, stage: str) -> dict:
         with open(self._marker(stage)) as f:

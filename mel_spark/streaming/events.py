@@ -14,10 +14,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time(events: DataFrame) -> DataFrame:
+    # watermarks require TIMESTAMP (tz-aware); parquet often carries NTZ
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """1-hour tumbling window per event_type with late-data watermark."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -38,7 +43,7 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     """Gap-based sessions via the native session_window (stateful streaming
     analogue of the batch lag/cumsum sessionizer)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")

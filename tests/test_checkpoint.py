@@ -1,0 +1,61 @@
+"""CheckpointManager protocol: markers, schema pinning, resume, counters."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mel_spark.sources.checkpoint import CheckpointManager
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    out = mgr.write("s1", df)
+    assert out.count() == 10
+    assert mgr.exists("s1")
+    meta = mgr.counters("s1")
+    assert meta["rows"] == 10 and meta["status"] == "complete"
+    for c in ("_stage", "_run_id", "_src_partition"):
+        assert c in out.columns
+
+
+def test_empty_stage_schema_pinned(spark, tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    df = spark.range(5).filter("id < 0").withColumn("name", F.lit("x"))
+    out = mgr.write("empty", df)
+    assert out.count() == 0
+    reread = mgr.read("empty", spark)
+    assert "name" in reread.columns and reread.count() == 0
+
+
+def test_incomplete_marker_not_resumed(spark, tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    df = spark.range(3)
+    mgr.write("s2", df)
+    # corrupt: mark as incomplete → stage must recompute
+    marker = mgr._marker("s2")
+    with open(marker) as f:
+        meta = json.load(f)
+    meta["status"] = "running"
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    assert not mgr.exists("s2")
+    out, resumed = mgr.get_or_compute("s2", spark, lambda: spark.range(4))
+    assert not resumed and out.count() == 4
+
+
+def test_missing_dir_not_resumed(spark, tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.write("s3", spark.range(2))
+    import shutil
+
+    shutil.rmtree(os.path.join(str(tmp_path), "s3"))
+    assert not mgr.exists("s3")
+
+
+def test_elapsed_recorded(spark, tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.get_or_compute("s4", spark, lambda: spark.range(2))
+    assert mgr.counters("s4")["elapsed_sec"] > 0

@@ -1,0 +1,62 @@
+"""Dedup operator family over a hand-built corpus with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mel_spark.operators import dedup
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta"),          # exact dup of 1
+    (3, "alpha beta gamma delta epsilon zeta eta iota"),           # near dup of 1
+    (4, "one two three four five six seven eight nine ten"),
+    (5, "one two three four five six seven eight nine eleven"),    # near dup of 4
+    (6, "completely different words nothing shared here at all"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs, "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_dedup_keep_first(docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_keep_first(docs, "doc_id").collect())
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, exact=True).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) in pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_lsh_pairs_find_all_high_jaccard(docs):
+    """With 16 bands × 2 rows the planted near-dups must all surface."""
+    lsh = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, num_hashes=32, bands=16)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in lsh.collect()}
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= got
+
+
+def test_simhash_groups_exact_dups_collide(docs):
+    groups = dedup.simhash_groups(docs, "doc_id", bits=30).collect()
+    assert any(set(g["doc_ids"]) >= {1, 2} for g in groups)
+
+
+def test_embedding_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 60)
+    exact = dedup.embedding_near_dup_pairs(emb, "vec_id", threshold=0.9, exact=True)
+    rows = exact.collect()
+    for r in rows:
+        assert r["cos"] >= 0.9 and r["doc_id_a"] < r["doc_id_b"]

@@ -1,0 +1,122 @@
+"""Scalar function units: string distances, shingles edge cases, remap,
+alias tables, evaluation math."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mel_spark.functions.strings import _jw, _lev_norm
+from mel_spark.operators.alias_table import alias_candidates, build_alias_table, probe_alias_table
+from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf, recall_at_k
+from mel_spark.operators.remap import remap_ids
+
+
+# ---- pure-python string kernels (golden values) ---------------------------
+
+def test_jaro_winkler_known_values():
+    assert _jw("", "") == 1.0
+    assert _jw("abc", "abc") == 1.0
+    assert _jw("abc", "") == 0.0
+    # classic textbook pair
+    assert math.isclose(_jw("MARTHA", "MARHTA"), 0.9611, abs_tol=1e-4)
+    assert math.isclose(_jw("DWAYNE", "DUANE"), 0.84, abs_tol=1e-2)
+
+
+def test_levenshtein_norm_known_values():
+    assert _lev_norm("kitten", "kitten") == 1.0
+    assert math.isclose(_lev_norm("kitten", "sitting"), 1 - 3 / 7, abs_tol=1e-9)
+    assert _lev_norm("", "abc") == 0.0
+
+
+def test_string_udfs_match_kernels(spark):
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("src/a.py", "src/b.py"), ("", "x")], ["a", "b"]
+    )
+    from mel_spark.functions.strings import jaro_winkler_udf, levenshtein_norm_udf
+
+    rows = df.select("a", "b", jaro_winkler_udf("a", "b").alias("jw"),
+                     levenshtein_norm_udf("a", "b").alias("lev")).collect()
+    for r in rows:
+        assert math.isclose(r["jw"], _jw(r["a"], r["b"]), abs_tol=1e-12)
+        assert math.isclose(r["lev"], _lev_norm(r["a"], r["b"]), abs_tol=1e-12)
+
+
+# ---- shingles edge cases ----------------------------------------------------
+
+def test_shingles_short_doc(spark):
+    from mel_spark.functions import text as T
+
+    df = spark.createDataFrame([("a b",), ("a",), ("a b c d",)], ["text"])
+    rows = df.select(T.shingles("text", 3).alias("sh")).collect()
+    assert rows[0]["sh"] == ["a b"]
+    assert rows[1]["sh"] == ["a"]
+    assert rows[2]["sh"] == ["a b c", "b c d"]
+
+
+# ---- remap (J1: qids_remap semantics) --------------------------------------
+
+def test_remap_identity_when_absent(spark):
+    facts = spark.createDataFrame([(1, 10), (2, 11), (3, 12)], ["k", "entity"])
+    redirects = spark.createDataFrame([(11, 99)], ["old_entity_id", "new_entity_id"])
+    out = {r["k"]: r["entity"] for r in remap_ids(facts, redirects, "entity").collect()}
+    assert out == {1: 10, 2: 99, 3: 12}
+
+
+def test_remap_empty_map(spark):
+    """dummy_empty_redirects.json case: empty map is identity."""
+    facts = spark.createDataFrame([(1, 10)], ["k", "entity"])
+    redirects = spark.createDataFrame([], "old_entity_id long, new_entity_id long")
+    out = remap_ids(facts, redirects, "entity").collect()
+    assert out[0]["entity"] == 10
+
+
+# ---- alias table (A1/J2/W1) -------------------------------------------------
+
+def test_alias_table_top_r_and_ties(spark):
+    links = spark.createDataFrame(
+        [("paris", 1)] * 3 + [("paris", 2)] * 3 + [("paris", 3)] * 1 + [("rome", 7)],
+        ["mention", "qid"],
+    )
+    at = build_alias_table(links, "mention", "qid", top_r=2)
+    rows = {(r["alias"], r["rank"]): (r["entity"], r["cnt"]) for r in at.collect()}
+    # tie between entities 1 and 2 broken by entity id asc
+    assert rows[("paris", 1)] == (1, 3)
+    assert rows[("paris", 2)] == (2, 3)
+    assert ("paris", 3) not in rows
+    assert rows[("rome", 1)] == (7, 1)
+
+
+def test_alias_probe_hit_and_miss(spark):
+    links = spark.createDataFrame([("paris", 1), ("paris", 1), ("paris", 2)], ["mention", "qid"])
+    cands = alias_candidates(build_alias_table(links, "mention", "qid", top_r=1))
+    queries = spark.createDataFrame(
+        [("paris", 1), ("paris", 2), ("tokyo", 1)], ["mention", "gold"]
+    )
+    out = {(r["mention"], r["gold"]): r["hit"] for r in
+           probe_alias_table(queries, cands, "mention", "gold").collect()}
+    assert out[("paris", 1)] is True
+    assert out[("paris", 2)] is False  # top-1 table only holds entity 1
+    assert out[("tokyo", 1)] is False  # unknown alias → miss, not null
+
+
+# ---- evaluation -------------------------------------------------------------
+
+def test_pairwise_prf_math(spark):
+    pred = spark.createDataFrame([("a", "b"), ("a", "c")], ["mention_id_a", "mention_id_b"])
+    gold = spark.createDataFrame([("a", "b"), ("b", "d")], ["mention_id_a", "mention_id_b"])
+    m = pairwise_prf(pred, gold)
+    assert (m["tp"], m["fp"], m["fn"]) == (1, 1, 1)
+    assert math.isclose(m["f1"], 0.5)
+
+
+def test_recall_at_k_unique_candidates(spark):
+    """RecallCalculator property: candidate dedup before truncation
+    (tests/models/test_recall_calculator.py:100-103 analogue)."""
+    df = spark.createDataFrame(
+        [(1, [9, 9, 9, 1]), (2, [5, 6, 7, 2]), (3, [3, 8, 8, 8])],
+        ["q", "cands"],
+    )
+    r2 = recall_at_k(df, gold_col="q", cand_col="cands", k=2).first()["recall_at_2"]
+    # dedup: [9,1] hits q=1; [5,6] misses q=2; [3,8] hits q=3 → 2/3
+    assert math.isclose(r2, round(2 / 3, 6), abs_tol=1e-9)

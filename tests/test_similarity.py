@@ -1,0 +1,57 @@
+"""Similarity-search operators: searcher equivalence (the reference's test,
+tests/finetunings/evaluation/test_find_recall.py:25-66 — brute force vs ANN on
+random matrices) re-expressed for our three regimes."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mel_spark.operators.similarity import broadcast_knn, brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_broadcast_knn_matches_brute_force(spark, emb_df):
+    """The mapInPandas broadcast searcher must return exactly the DataFrame
+    brute-force ranking (same ids, same order)."""
+    pdf = emb_df.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    embs = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+
+    queries = emb_df.filter(F.col("vec_id") < 20)
+    bf = brute_force_topk(queries, emb_df, k=5)
+    bf_map = {
+        r["query_id"]: r["neighbor_ids"]
+        for r in bf.groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "neighbor_id"))).alias("rc"))
+        .select("query_id", F.transform("rc", lambda s: s.getField("neighbor_id")).alias("neighbor_ids"))
+        .collect()
+    }
+    bc = {r["query_id"]: r["neighbor_ids"] for r in broadcast_knn(queries, ids, embs, k=5).collect()}
+    assert bf_map.keys() == bc.keys()
+    mismatches = {q: (bf_map[q], bc[q]) for q in bf_map if list(bf_map[q]) != list(bc[q])}
+    assert not mismatches, mismatches
+
+
+def test_lsh_topk_subset_of_brute_force(spark, emb_df):
+    """LSH results are approximate but every (query, neighbor, cos) it emits
+    must agree with the exact scorer, and rank-1 recall should be decent."""
+    queries = emb_df.filter(F.col("vec_id") < 50)
+    bf = brute_force_topk(queries, emb_df, k=1).select("query_id", F.col("neighbor_id").alias("bf_top1"))
+    lsh = lsh_topk(queries, emb_df, k=1, n_planes=8, bands=8)  # 8 bands × 1 row
+    joined = bf.join(lsh.select("query_id", F.col("neighbor_id").alias("lsh_top1")), "query_id")
+    n = joined.count()
+    hits = joined.filter(F.col("bf_top1") == F.col("lsh_top1")).count()
+    assert n > 0
+    assert hits / n >= 0.5, f"rank-1 LSH recall {hits}/{n}"
+
+
+def test_brute_force_excludes_self_and_is_ranked(emb_df):
+    out = brute_force_topk(emb_df.filter(F.col("vec_id") < 5), emb_df, k=3).collect()
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
