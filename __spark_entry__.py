@@ -246,6 +246,47 @@ def q_knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-index mapInPandas searcher (BruteForceSearcher's torch
+    matmul+topk as NumPy-per-Arrow-batch) — exploded to rows so the SAME SQL
+    oracle as brute force validates the vectorized path."""
+    import numpy as np
+
+    from mel_spark.operators.similarity import broadcast_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    embs = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    out = broadcast_knn(emb.filter(F.col("vec_id") < KNN_MAX_QID), ids, embs / norms, k=KNN_K)
+    return out.select(
+        "query_id",
+        F.posexplode("neighbor_ids").alias("rank0", "neighbor_id"),
+    ).select("query_id", "neighbor_id", (F.col("rank0") + 1).cast("int").alias("rank"))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    from mel_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8, exact=True)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate kNN (the ScaNN analogue). Hyperplanes are
+    seeded NumPy — not SQL-expressible, so the driver records the weaker
+    rows-only check (no oracle entry by design)."""
+    from mel_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, n_planes=12, bands=6
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (exact float min/max — no fp-order ambiguity)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -517,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_simhash_groups": q_er_simhash_groups,
         "er_blocking_stats": q_er_blocking_stats,
         "knn_top5": q_knn_top5,
+        "knn_broadcast": q_knn_broadcast,
+        "knn_lsh": q_knn_lsh,
+        "emb_near_dup": q_emb_near_dup,
         "knn_recall_at_k": q_knn_recall_at_k,
         "emb_label_stats": q_emb_label_stats,
         "alias_table_topr": q_alias_table_topr,
@@ -608,6 +652,24 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked WHERE rank <= {KNN_K} GROUP BY query_id
             )
             SELECT round(avg(hit), 6) AS recall_at_k, count(*)::BIGINT AS n_queries FROM hits
+        """,
+        "knn_broadcast": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+                     {O.cosine('q.embedding', 'i.embedding')} AS cos
+              FROM embeddings q JOIN embeddings i ON q.vec_id != i.vec_id
+              WHERE q.vec_id < {KNN_MAX_QID}
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+        """,
+        "emb_near_dup": f"""
+            SELECT a.vec_id AS doc_id_a, b.vec_id AS doc_id_b,
+                   {O.cosine('a.embedding', 'b.embedding')} AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {O.cosine('a.embedding', 'b.embedding')} >= 0.8
         """,
         "emb_label_stats": """
             SELECT label, count(*) AS n,

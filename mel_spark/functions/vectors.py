@@ -76,6 +76,33 @@ def _token_buckets(texts: pd.Series, vocab_buckets: int) -> list[np.ndarray]:
     return out
 
 
+def embed_buckets_udf(dim: int = EMB_DIM, vocab_buckets: int = 4096, seed: int = 42):
+    """Arrow-batched embedder over PRE-HASHED token buckets (array<int>, from
+    text.token_bucket_ids — JVM-side xxhash64): per batch one flattened
+    gather + segmented sum (np.add.reduceat), zero Python-per-token work.
+    Same contract as embed_text_udf: deterministic, L2-normalized float[dim].
+    """
+    proj = _projection_matrix(dim, vocab_buckets, seed)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for bucket_lists in it:
+            lens = np.fromiter((len(b) for b in bucket_lists), dtype=np.int64, count=len(bucket_lists))
+            vecs = np.zeros((len(bucket_lists), dim), dtype=np.float32)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate([np.asarray(b, dtype=np.int64) for b in bucket_lists if len(b)])
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=starts[1:])
+                vecs[nz] = np.add.reduceat(proj[flat], starts, axis=0)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs /= norms
+            yield pd.Series(list(vecs))
+
+    return _embed
+
+
 def embed_text_udf(dim: int = EMB_DIM, vocab_buckets: int = 4096, seed: int = 42):
     """Arrow-batched embedder: text → L2-normalized float[dim].
 

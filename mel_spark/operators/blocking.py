@@ -137,24 +137,56 @@ def cap_blocks(blocks: DataFrame, max_block_size: int = 64, order_col: str = "me
     )
 
 
+def minhash_long_blocks(
+    df: DataFrame,
+    id_col: str,
+    xs_col: str,
+    lang_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """All-integer LSH blocking (the 100 TB hot path): signature from
+    pre-projected int hashes, band keys as longs, final block_key =
+    xxhash64(family, band, lang) — an 8-byte join key, zero string churn.
+    Emits (block_key long, mention_id)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    lang = F.col(lang_col) if lang_col else F.lit("")
+    staged = df.select(
+        F.col(id_col).alias("mention_id"),
+        lang.alias("_lang"),
+        T.minhash_signature_from_ints(F.col(xs_col), num_hashes).alias("_sig"),
+    )
+    return staged.select(
+        "mention_id",
+        "_lang",
+        F.explode(T.minhash_band_ints(F.col("_sig"), bands, rows)).alias("_band"),
+    ).select(
+        "mention_id",
+        F.xxhash64(F.lit("mh"), F.col("_band"), F.col("_lang")).alias("block_key"),
+    )
+
+
 def salt_hot_blocks(blocks: DataFrame, salt_threshold: int = 256, n_salts: int = 8) -> DataFrame:
     """Split blocks larger than ``salt_threshold`` into ``n_salts`` sub-blocks
     by a deterministic member hash. Trades (bounded) recall inside mega-blocks
     for a quadratic reduction in their pair fan-out — transitive clustering
     re-merges what the pair stage still connects (north_rule skew handling)."""
+    from pyspark.sql.types import LongType
+
     sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_sz"))
+    is_long = isinstance(blocks.schema["block_key"].dataType, LongType)
+    salt = F.pmod(F.xxhash64("mention_id"), F.lit(n_salts))
+    salted_key = (
+        F.xxhash64("block_key", salt)
+        if is_long
+        else F.concat(F.col("block_key"), F.lit("#"), salt.cast("string"))
+    )
     return (
         blocks.join(F.broadcast(sizes.filter(F.col("_sz") > salt_threshold)), "block_key", "left")
         .withColumn(
             "block_key",
-            F.when(
-                F.col("_sz").isNotNull(),
-                F.concat(
-                    F.col("block_key"),
-                    F.lit("#"),
-                    F.pmod(F.xxhash64("mention_id"), F.lit(n_salts)).cast("string"),
-                ),
-            ).otherwise(F.col("block_key")),
+            F.when(F.col("_sz").isNotNull(), salted_key).otherwise(F.col("block_key")),
         )
         .drop("_sz")
     )

@@ -93,12 +93,14 @@ def broadcast_knn(
 
     def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids = b_ids.value
-        embs = b_embs.value
+        # rank in float64 rounded to 6dp so the ordering matches the exact
+        # column-expression scorer (ties then break by neighbor id)
+        embs = b_embs.value.astype(np.float64)
         for pdf in batches:
-            q = np.stack(pdf[q_emb].to_numpy()).astype(np.float32)
+            q = np.stack(pdf[q_emb].to_numpy()).astype(np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
-            sims = (q / qn) @ embs.T
+            sims = np.round((q / qn) @ embs.T, 6)
             qids = pdf[q_id].to_numpy()
             if exclude_self:
                 # mask identical ids (index id == query id)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mel_spark.functions import text as T
-from mel_spark.functions.vectors import embed_text_udf
+from mel_spark.functions.vectors import embed_buckets_udf
 from mel_spark.operators import blocking, cluster, pairs
 from mel_spark.sources.checkpoint import CheckpointManager
 
@@ -81,27 +81,43 @@ def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
     per distinct content and the pair shuffle carries 8-byte ints, not
     shingle strings."""
     distinct_contents = mentions.select("content_sha", "content").dropDuplicates(["content_sha"])
-    embedder = embed_text_udf(dim=cfg.emb_dim, seed=cfg.seed)
-    feats = distinct_contents.select(
-        "content_sha",
-        embedder("content").alias("emb"),
-        T.shingles("content", cfg.shingle_n).alias("_sh"),
-    ).select(
-        "content_sha",
-        "emb",
-        F.array_sort(F.array_distinct(T.shingle_int_hashes(F.col("_sh")))).alias("xs"),
+    embedder = embed_buckets_udf(dim=cfg.emb_dim, seed=cfg.seed)
+    # fast-path hashing: one native xxhash64 pass per token (staged into its
+    # own projection), shingle hashes by integer arithmetic, embedding buckets
+    # JVM-side → the Arrow UDF is a pure NumPy gather-sum
+    feats = (
+        distinct_contents.select(
+            "content_sha",
+            T.token_int_hashes("content").alias("_th"),
+            T.token_bucket_ids("content").alias("_tb"),
+        )
+        .select(
+            "content_sha",
+            embedder("_tb").alias("emb"),
+            F.array_sort(
+                F.array_distinct(T.shingle_hashes_from_token_ints(F.col("_th"), cfg.shingle_n))
+            ).alias("xs"),
+        )
     )
-    return mentions.join(feats, "content_sha")
+    # content itself is NOT carried forward: downstream stages key exact blocks
+    # on content_sha and score on emb/xs — dropping the raw string ~halves the
+    # join shuffle and the checkpoint write
+    return mentions.drop("content").join(feats, "content_sha")
 
 
 def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
     """Stage 4: union of key families, then skew controls (salt → cap)."""
-    b_exact = blocking.exact_content_blocks(embedded, "mention_id", "content")
-    b_mh = blocking.minhash_blocks_from_ints(
-        embedded.withColumn("_lp", F.concat("lang", F.lit("/"))),
+    # all block keys are LONGS (xxhash64 composites): an 8-byte shuffle key
+    # instead of 40+-char strings; exact blocks reuse the ingest sha
+    b_exact = embedded.select(
+        F.xxhash64(F.lit("sha"), F.col("content_sha")).alias("block_key"),
+        F.col("mention_id"),
+    )
+    b_mh = blocking.minhash_long_blocks(
+        embedded,
         "mention_id",
         "xs",
-        lang_prefix_col="_lp",
+        lang_col="lang",
         num_hashes=cfg.minhash_hashes,
         bands=cfg.minhash_bands,
     )
@@ -115,7 +131,7 @@ def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
             n_planes=cfg.hyperplane_planes,
             bands=cfg.hyperplane_bands,
             seed=cfg.seed,
-        )
+        ).select(F.xxhash64(F.lit("hp"), "block_key").alias("block_key"), "mention_id")
         blocks = blocks.unionByName(b_hp)
     blocks = blocking.salt_hot_blocks(blocks, cfg.salt_threshold)
     return blocking.cap_blocks(blocks, cfg.max_block_size)

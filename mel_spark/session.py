@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("MEL_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("MEL_SPARK_DRIVER_MEM", "8g"))
     )
+    # shuffle/spill scratch space: a cluster gives each executor local NVMe; the
+    # single-disk sandbox serializes IO there, so benches point this at tmpfs
+    local_dir = os.environ.get("MEL_SPARK_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

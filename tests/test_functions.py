@@ -120,3 +120,62 @@ def test_recall_at_k_unique_candidates(spark):
     r2 = recall_at_k(df, gold_col="q", cand_col="cands", k=2).first()["recall_at_2"]
     # dedup: [9,1] hits q=1; [5,6] misses q=2; [3,8] hits q=3 → 2/3
     assert math.isclose(r2, round(2 / 3, 6), abs_tol=1e-9)
+
+
+# ---- fast-path (xxhash) shingle/bucket functions ----------------------------
+
+def test_fast_shingle_hashes_edges(spark):
+    from mel_spark.functions import text as T
+
+    df = spark.createDataFrame([("a b c d e",), ("a b",), ("a",)], ["text"])
+    staged = df.select("text", T.token_int_hashes("text").alias("th"))
+    rows = staged.select(
+        "text", T.shingle_hashes_from_token_ints(F.col("th"), 3).alias("sh")
+    ).collect()
+    by_text = {r["text"]: r["sh"] for r in rows}
+    assert len(by_text["a b c d e"]) == 3  # 5 tokens → 3 trigrams
+    assert len(by_text["a b"]) == 1        # short doc → one clamped shingle
+    assert len(by_text["a"]) == 1
+    assert all(v >= 0 for sh in by_text.values() for v in sh)
+
+
+def test_fast_shingles_deterministic_across_partitioning(spark):
+    from mel_spark.functions import text as T
+
+    texts = [(f"tok{i} tok{i+1} tok{i+2} tok{i+3}",) for i in range(50)]
+    a = spark.createDataFrame(texts, ["text"])
+    b = spark.createDataFrame(texts, ["text"]).repartition(7)
+
+    def run(df):
+        staged = df.select("text", T.token_int_hashes("text").alias("th"))
+        return {
+            r["text"]: (list(r["sh"]), list(r["tb"]))
+            for r in staged.select(
+                "text",
+                T.shingle_hashes_from_token_ints(F.col("th"), 3).alias("sh"),
+                F.lit(None).alias("_pad"),
+                F.col("th").alias("tb"),
+            ).collect()
+        }
+
+    assert run(a) == run(b)
+
+
+def test_embed_buckets_udf_matches_manual(spark):
+    """Gather-sum UDF == manual numpy projection sum for the same buckets."""
+    import numpy as np
+
+    from mel_spark.functions import vectors as V
+    from mel_spark.functions import text as T
+
+    df = spark.createDataFrame([("alpha beta gamma",), ("",)], ["text"])
+    staged = df.select("text", T.token_bucket_ids("text").alias("tb"))
+    rows = staged.select("text", "tb", V.embed_buckets_udf(16)("tb").alias("emb")).collect()
+    proj = V._projection_matrix(16, 4096, 42)
+    for r in rows:
+        if r["tb"]:
+            v = proj[np.array(r["tb"])].sum(axis=0)
+            v = v / np.linalg.norm(v)
+            assert np.allclose(np.array(r["emb"]), v, atol=1e-6)
+        else:
+            assert all(x == 0.0 for x in r["emb"])
