@@ -42,16 +42,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ER family over `documents` (SURVEY §7.1; A1/A2/A8/J4 analogues)
 # ---------------------------------------------------------------------------
 
-def _doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, sh, sig) via staged projections: the shingle build and
+def _doc_features(docs: DataFrame, with_lang: bool = False) -> DataFrame:
+    """(doc_id[, lang], sh, sig) via staged projections: the shingle build and
     its single md5 pass each live in their own Project (CollapseProject will
-    not duplicate non-cheap expressions into the 32 permutation subtrees)."""
+    not duplicate non-cheap expressions into the 32 permutation subtrees).
+    ``with_lang`` only when the caller groups by language — keeps the scan
+    column-pruned otherwise."""
+    extra = ["lang"] if with_lang else []
     return (
-        docs.select("doc_id", "lang", T.shingles("text", SHINGLE_N).alias("sh"))
-        .select("doc_id", "lang", "sh", T.shingle_int_hashes(F.col("sh")).alias("xs"))
+        docs.select("doc_id", *extra, T.shingles("text", SHINGLE_N).alias("sh"))
+        .select("doc_id", *extra, "sh", T.shingle_int_hashes(F.col("sh")).alias("xs"))
         .select(
             "doc_id",
-            "lang",
+            *extra,
             F.array_sort("sh").alias("sh"),
             T.minhash_signature_from_ints(F.col("xs"), MH_HASHES).alias("sig"),
         )
@@ -196,7 +199,7 @@ def q_er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking skew diagnostics per lang: blocks, max block size, pair fanout
     (the quantity salting bounds; north_rule skew handling)."""
     docs = _t(spark, sf_dir, "documents")
-    blocks = _doc_features(docs).select(
+    blocks = _doc_features(docs, with_lang=True).select(
         "lang",
         F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key"),
     )

@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("MEL_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("MEL_SPARK_DRIVER_MEM", "8g"))
+        # throughput GC: G1 showed pathological pauses under this allocation
+        # profile on a big shared local-mode heap (only effective when this
+        # builder launches the JVM; spark-submit users pass it on the CLI)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     # shuffle/spill scratch space: a cluster gives each executor local NVMe; the
     # single-disk sandbox serializes IO there, so benches point this at tmpfs
