@@ -252,30 +252,54 @@ def q_knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The broadcast-index mapInPandas searcher (BruteForceSearcher's torch
     matmul+topk as NumPy-per-Arrow-batch) — exploded to rows so the SAME SQL
-    oracle as brute force validates the vectorized path."""
-    import numpy as np
-
+    oracle as brute force validates the vectorized path. The index arrives as
+    a DataFrame; broadcast_knn count-guards it before any driver gather."""
     from mel_spark.operators.similarity import broadcast_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    pdf = emb.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    embs = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-    norms = np.linalg.norm(embs, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    out = broadcast_knn(emb.filter(F.col("vec_id") < KNN_MAX_QID), ids, embs / norms, k=KNN_K)
+    out = broadcast_knn(emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K)
     return out.select(
         "query_id",
         F.posexplode("neighbor_ids").alias("rank0", "neighbor_id"),
     ).select("query_id", "neighbor_id", (F.col("rank0") + 1).cast("int").alias("rank"))
 
 
+EMB_DUP_T = 0.4
+EMB_LSH_T = 0.3
+EMB_LSH_PLANES = 8
+EMB_LSH_BANDS = 4
+EMB_DIM = 64
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-duplicate pairs (exact all-pairs oracle baseline;
+    the production default is the LSH path, q_emb_near_dup_lsh)."""
     from mel_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8, exact=True)
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=EMB_DUP_T, dim=EMB_DIM, exact=True
+    )
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default near-dup: seeded hyperplane-LSH blocking → exact cosine
+    verify. Fully oracle-matched — the seeded plane weights are inlined as
+    literals into both engines' plans (oracle.hyperplane_band_keys)."""
+    from mel_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=EMB_LSH_T,
+        dim=EMB_DIM,
+        exact=False,
+        n_planes=EMB_LSH_PLANES,
+        bands=EMB_LSH_BANDS,
+        seed=42,
+    )
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_broadcast": q_knn_broadcast,
         "knn_lsh": q_knn_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "knn_recall_at_k": q_knn_recall_at_k,
         "emb_label_stats": q_emb_label_stats,
         "alias_table_topr": q_alias_table_topr,
@@ -672,7 +697,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS doc_id_a, b.vec_id AS doc_id_b,
                    {O.cosine('a.embedding', 'b.embedding')} AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {O.cosine('a.embedding', 'b.embedding')} >= 0.8
+            WHERE {O.cosine('a.embedding', 'b.embedding')} >= {EMB_DUP_T}
+        """,
+        "emb_near_dup_lsh": f"""
+            WITH blocks AS (
+              SELECT vec_id AS doc_id,
+                     unnest({O.hyperplane_band_keys('embedding', EMB_DIM, EMB_LSH_PLANES, EMB_LSH_BANDS, 42)}) AS block_key
+              FROM embeddings
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM blocks a JOIN blocks b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            )
+            SELECT c.doc_id_a, c.doc_id_b, {O.cosine('ea.embedding', 'eb.embedding')} AS cos
+            FROM cand c JOIN embeddings ea ON c.doc_id_a = ea.vec_id
+                        JOIN embeddings eb ON c.doc_id_b = eb.vec_id
+            WHERE {O.cosine('ea.embedding', 'eb.embedding')} >= {EMB_LSH_T}
         """,
         "emb_label_stats": """
             SELECT label, count(*) AS n,

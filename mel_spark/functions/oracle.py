@@ -110,6 +110,33 @@ def langid_score(text: str, stopwords: list[str]) -> str:
     return f"len(list_filter({toks}, t -> t IN ({in_list})))"
 
 
+def hyperplane_band_keys(
+    emb: str, dim: int, n_planes: int = 16, bands: int = 4, seed: int = 42
+) -> str:
+    """DuckDB twin of blocking.hyperplane_blocks' band keys. The seeded plane
+    weights are Python-generated floats inlined as literals into BOTH engines'
+    plans; the dot product is written as the same left-associated double chain
+    Spark's F.aggregate fold produces, so the sign bits are bit-identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype("float64")
+    assert n_planes % bands == 0
+    rows = n_planes // bands
+
+    def _bit(p: int) -> str:
+        terms = " + ".join(
+            f"{emb}[{d + 1}]::DOUBLE * {float(planes[p][d])!r}" for d in range(dim)
+        )
+        return f"(CASE WHEN (0.0 + {terms}) >= 0 THEN '1' ELSE '0' END)"
+
+    keys = ", ".join(
+        f"'hp{i}:' || " + " || ".join(_bit(i * rows + j) for j in range(rows))
+        for i in range(bands)
+    )
+    return f"[{keys}]"
+
+
 def cosine(a: str, b: str) -> str:
     """Exact cosine over two list<float> expressions, computed in double with a
     left-fold matching Spark's F.aggregate ordering; round(…, 6) on both sides

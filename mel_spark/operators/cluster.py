@@ -10,6 +10,10 @@ min-aggregation; every iteration localCheckpoints to break lineage
 
 Scale notes (100 TB / 10^12 edges):
  - each round is one groupBy shuffle on node id; AQE handles skewed hubs,
+ - HUB-SAFE: each star step is a scalar min() aggregation joined back to the
+   edge list — no per-node neighbor arrays are ever materialized, so a
+   multi-million-degree hub costs one partial-aggregatable min and a
+   row-parallel join, never a single giant array row,
  - convergence is O(log n) rounds for large-star/small-star (vs O(diameter)
    for naive label propagation) — that is why we use it,
  - per-round edge-set fingerprint (count + sum of xxhash64) detects
@@ -18,8 +22,12 @@ Scale notes (100 TB / 10^12 edges):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -32,33 +40,40 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: m = min(neighbors ∪ {u}); connect strictly-greater
-    neighbors to m. Input/output: canonical undirected edge list (u, v)."""
+    neighbors to m. Input/output: canonical undirected edge list (u, v).
+
+    Hub-safe Kiveris formulation: the per-node minimum is a scalar groupBy-min
+    (map-side partial agg) joined back to the symmetrized edge list — a hub's
+    neighborhood is never materialized as one array row, so a
+    multi-million-degree node costs a cheap aggregate + row-parallel join."""
     both = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    nbrs = both.groupBy("u").agg(
-        F.collect_set("v").alias("nv"),
-    )
-    m = F.least(F.array_min("nv"), F.col("u"))
+    mins = both.groupBy("u").agg(F.min("v").alias("_mn"))
     out = (
-        nbrs.select(F.col("u"), m.alias("m"), F.explode("nv").alias("v"))
+        both.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("_mn"), F.col("u")).alias("v"),
+        )
     )
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Direct edges high→low; for each u connect all smaller neighbors (and u)
-    to the minimum."""
+    to the minimum. Same hub-safe join + min-aggregation shape as large-star."""
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    nbrs = directed.groupBy("u").agg(F.collect_set("v").alias("nv"))
-    m = F.array_min("nv")
-    out = nbrs.select(
-        F.col("u"),
-        m.alias("m"),
-        F.explode(F.array_union("nv", F.array("u"))).alias("v"),
-    ).filter(F.col("v") != F.col("m")).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("_m"))
+    nbr_edges = (
+        directed.join(mins, "u")
+        .filter(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    # u itself always links to its minimum (_m < u by construction)
+    self_edges = mins.select(F.col("u"), F.col("_m").alias("v"))
+    out = nbr_edges.union(self_edges)
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
@@ -81,12 +96,21 @@ def connected_components(
     )
     edges = edges.localCheckpoint(eager=True)
     prev_fp = None
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         fp = _fingerprint(edges)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # non-converged output may violate the "cluster_id = min member,
+        # transitive" contract — surface it instead of failing silently
+        logger.warning(
+            "connected_components: edge fingerprint did not stabilize within "
+            "%d iterations; clusters may be incomplete", max_iterations,
+        )
 
     # after convergence every edge is (member → root); add roots themselves
     members = edges.select(F.col("u").alias("mention_id"), F.col("v").alias("cluster_id"))

@@ -144,13 +144,19 @@ def embedding_near_dup_pairs(
     id_col: str,
     emb_col: str = "embedding",
     threshold: float = 0.95,
-    exact: bool = True,
+    dim: int = 64,
+    exact: bool = False,
     n_planes: int = 16,
     bands: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Cosine ≥ threshold pairs over the embedding column. ``exact=True`` is
-    the all-pairs baseline (oracle-matched); otherwise hyperplane-LSH blocks
-    first (the 100 TB path)."""
+    """Cosine ≥ threshold pairs over the embedding column.
+
+    DEFAULT is the scale-safe path: hyperplane-LSH blocking (seeded,
+    deterministic) → exact cosine re-verification — never all-pairs.
+    ``exact=True`` is the O(n²) crossJoin baseline, kept as the opt-in oracle
+    mode for small inputs only. ``dim`` must be passed explicitly (no driver
+    .first() probe)."""
     e = docs.select(F.col(id_col).alias("doc_id"), F.col(emb_col).alias("emb"))
     if exact:
         cand = (
@@ -161,8 +167,9 @@ def embedding_near_dup_pairs(
     else:
         from mel_spark.operators.blocking import hyperplane_blocks
 
-        dim = len(e.select("emb").first()["emb"])
-        blocks = hyperplane_blocks(e, "doc_id", "emb", dim=dim, n_planes=n_planes, bands=bands)
+        blocks = hyperplane_blocks(
+            e, "doc_id", "emb", dim=dim, n_planes=n_planes, bands=bands, seed=seed
+        )
         a = blocks.select("block_key", F.col("mention_id").alias("doc_id_a"))
         b = blocks.select("block_key", F.col("mention_id").alias("doc_id_b"))
         cand = (

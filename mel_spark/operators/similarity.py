@@ -64,25 +64,41 @@ def brute_force_topk(
 
 def broadcast_knn(
     queries: DataFrame,
-    index_ids: np.ndarray,
-    index_embs: np.ndarray,
+    index: DataFrame,
     k: int = 10,
     q_id: str = "vec_id",
     q_emb: str = "embedding",
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
     exclude_self: bool = True,
+    max_index_rows: int = 2_000_000,
 ) -> DataFrame:
     """Broadcast-index kNN: one NumPy matmul + argpartition per Arrow batch.
 
-    ``index_embs`` must be L2-normalized float32 [N, d]; queries are normalized
-    in-batch. Emits (query_id, neighbor_ids array<long> ranked, cos array).
-    This is the scale path when the index fits in executor memory — the same
-    fits-in-memory judgement the reference makes for BruteForceSearcher vs
-    ScaNN (src/data_processors/index/index.py:16-62).
+    ``index`` is a DataFrame (i_id, i_emb). Its size is guarded by an explicit
+    count (≤ ``max_index_rows``) BEFORE anything is pulled to the driver; the
+    guarded index is then gathered via Spark collect, L2-normalized, and
+    broadcast — never an unguarded full-table toPandas. Indexes beyond the
+    guard belong to lsh_topk (the ScaNN-analogue regime). Emits (query_id,
+    neighbor_ids array<long> ranked). This mirrors the reference's
+    fits-in-memory judgement for BruteForceSearcher vs ScaNN
+    (src/data_processors/index/index.py:16-62).
     """
     spark = queries.sparkSession
     sc = spark.sparkContext
-    b_ids = sc.broadcast(np.asarray(index_ids, dtype=np.int64))
-    b_embs = sc.broadcast(np.ascontiguousarray(index_embs, dtype=np.float32))
+    n = index.count()
+    if n > max_index_rows:
+        raise ValueError(
+            f"broadcast_knn: index has {n} rows > max_index_rows={max_index_rows}; "
+            "use lsh_topk for indexes that do not fit in executor memory"
+        )
+    rows = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb")).collect()
+    ids_arr = np.fromiter((r["_id"] for r in rows), dtype=np.int64, count=len(rows))
+    embs_arr = np.array([r["_emb"] for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(embs_arr, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    b_ids = sc.broadcast(ids_arr)
+    b_embs = sc.broadcast(np.ascontiguousarray(embs_arr / norms, dtype=np.float32))
 
     schema = StructType(
         [
@@ -100,7 +116,13 @@ def broadcast_knn(
             q = np.stack(pdf[q_emb].to_numpy()).astype(np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
-            sims = np.round((q / qn) @ embs.T, 6)
+            raw = (q / qn) @ embs.T
+            # HALF_UP rounding (away from zero) — identical to Spark F.round /
+            # DuckDB round, unlike np.round's banker's half-to-even: a cosine
+            # landing exactly on a 5e-7 boundary must rank the same everywhere
+            sims = np.where(
+                raw >= 0, np.floor(raw * 1e6 + 0.5), np.ceil(raw * 1e6 - 0.5)
+            ) / 1e6
             qids = pdf[q_id].to_numpy()
             if exclude_self:
                 # mask identical ids (index id == query id)

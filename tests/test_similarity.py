@@ -2,7 +2,6 @@
 tests/finetunings/evaluation/test_find_recall.py:25-66 — brute force vs ANN on
 random matrices) re-expressed for our three regimes."""
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -17,11 +16,6 @@ def emb_df(spark, sf_dir):
 def test_broadcast_knn_matches_brute_force(spark, emb_df):
     """The mapInPandas broadcast searcher must return exactly the DataFrame
     brute-force ranking (same ids, same order)."""
-    pdf = emb_df.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    embs = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-    embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
-
     queries = emb_df.filter(F.col("vec_id") < 20)
     bf = brute_force_topk(queries, emb_df, k=5)
     bf_map = {
@@ -31,10 +25,16 @@ def test_broadcast_knn_matches_brute_force(spark, emb_df):
         .select("query_id", F.transform("rc", lambda s: s.getField("neighbor_id")).alias("neighbor_ids"))
         .collect()
     }
-    bc = {r["query_id"]: r["neighbor_ids"] for r in broadcast_knn(queries, ids, embs, k=5).collect()}
+    bc = {r["query_id"]: r["neighbor_ids"] for r in broadcast_knn(queries, emb_df, k=5).collect()}
     assert bf_map.keys() == bc.keys()
     mismatches = {q: (bf_map[q], bc[q]) for q in bf_map if list(bf_map[q]) != list(bc[q])}
     assert not mismatches, mismatches
+
+
+def test_broadcast_knn_guards_index_size(spark, emb_df):
+    """The fits-in-memory judgement is an explicit count guard, not an OOM."""
+    with pytest.raises(ValueError, match="max_index_rows"):
+        broadcast_knn(emb_df.limit(5), emb_df, k=3, max_index_rows=10)
 
 
 def test_lsh_topk_subset_of_brute_force(spark, emb_df):
