@@ -314,6 +314,51 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 entity prototype vector: groupBy(label) → element-wise DECIMAL-exact
+    sum → L2 normalize (combine_embs.py:9-43). Exploded to (label, n, pos,
+    c_val) scalar rows so the driver's value-hash sees no array columns."""
+    from mel_spark.operators.aggregates import embedding_centroid
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = embedding_centroid(emb, "label", "embedding")
+    return cent.select(
+        "label", "n", F.posexplode("centroid").alias("pos0", "c_val")
+    ).select("label", "n", (F.col("pos0") + 1).cast("int").alias("pos"), "c_val")
+
+
+def q_qid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 normalized frequency distribution: count ÷ grand total
+    (calculate_qids_distribution.py:7-21)."""
+    from mel_spark.operators.aggregates import normalized_distribution
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return normalized_distribution(emb, "label")
+
+
+def q_lang_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 composite argmax: per source the top-2 langs by (pair count desc,
+    global lang size desc, lang asc) (creator.py:147-206)."""
+    from mel_spark.operators.aggregates import composite_argmax
+
+    docs = _t(spark, sf_dir, "documents")
+    return composite_argmax(docs, "source", "lang", k=2)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 hard-negative mining: per query the best gold-labeled neighbor and
+    the best non-gold neighbor from the exact top-k
+    (create_dataset.py:89-121)."""
+    from mel_spark.operators.pairs import hard_negative_pairs
+    from mel_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K)
+    return hard_negative_pairs(
+        topk.select("query_id", "neighbor_id", "rank"), emb.select("vec_id", "label")
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (exact float min/max — no fp-order ambiguity)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -591,6 +636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "knn_recall_at_k": q_knn_recall_at_k,
         "emb_label_stats": q_emb_label_stats,
+        "emb_centroid": q_emb_centroid,
+        "qid_distribution": q_qid_distribution,
+        "lang_argmax": q_lang_argmax,
+        "hard_negatives": q_hard_negatives,
         "alias_table_topr": q_alias_table_topr,
         "alias_probe_recall": q_alias_probe_recall,
         "pricing_summary": q_pricing_summary,
@@ -712,6 +761,73 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN embeddings ea ON c.doc_id_a = ea.vec_id
                         JOIN embeddings eb ON c.doc_id_b = eb.vec_id
             WHERE {O.cosine('ea.embedding', 'eb.embedding')} >= {EMB_LSH_T}
+        """,
+        "emb_centroid": """
+            WITH ex AS (
+              SELECT label AS key, t.i AS pos, embedding[t.i]::DOUBLE AS val
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ), sums AS (
+              SELECT key, pos, sum(round(val, 7)::DECIMAL(24,7)) AS s, count(*) AS cnt
+              FROM ex GROUP BY 1, 2
+            ), vecs AS (
+              SELECT key, max(cnt) AS n, list(s::DOUBLE ORDER BY pos) AS vsum
+              FROM sums GROUP BY key
+            ), final AS (
+              SELECT key AS label, n::BIGINT AS n,
+                     list_transform(vsum, x -> round(
+                       x / greatest(sqrt(list_sum(list_transform(vsum, y -> y * y))), 1e-300), 6
+                     )) AS c
+              FROM vecs
+            )
+            SELECT label, n, t.i::INT AS pos, c[t.i] AS c_val
+            FROM final, unnest(range(1, len(c) + 1)) AS t(i)
+        """,
+        "qid_distribution": """
+            SELECT label, count(*) AS cnt,
+                   round(count(*) / sum(count(*)) OVER (), 6) AS freq
+            FROM embeddings GROUP BY label
+        """,
+        "lang_argmax": """
+            WITH pc AS (
+              SELECT source AS key, lang AS val, count(*) AS cnt FROM documents GROUP BY 1, 2
+            ), vs AS (
+              SELECT lang AS val, count(*) AS val_size FROM documents GROUP BY 1
+            ), r AS (
+              SELECT pc.key, pc.val, pc.cnt, vs.val_size,
+                     row_number() OVER (PARTITION BY pc.key
+                       ORDER BY pc.cnt DESC, vs.val_size DESC, pc.val ASC) AS rank
+              FROM pc JOIN vs USING (val)
+            )
+            SELECT key AS source, val AS lang, cnt, val_size, rank::INT AS rank
+            FROM r WHERE rank <= 2
+        """,
+        "hard_negatives": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+                     {O.cosine('q.embedding', 'i.embedding')} AS cos
+              FROM embeddings q JOIN embeddings i ON q.vec_id != i.vec_id
+              WHERE q.vec_id < {KNN_MAX_QID}
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ), tagged AS (
+              SELECT r.query_id, ql.label AS q_label, r.neighbor_id, nl.label AS n_label, r.rank
+              FROM ranked r JOIN embeddings ql ON r.query_id = ql.vec_id
+                            JOIN embeddings nl ON r.neighbor_id = nl.vec_id
+              WHERE r.rank <= {KNN_K}
+            ), best AS (
+              SELECT query_id, q_label,
+                     min(CASE WHEN n_label = q_label THEN rank END) AS gold_rank,
+                     min(CASE WHEN n_label != q_label THEN rank END) AS neg_rank
+              FROM tagged GROUP BY 1, 2
+            )
+            SELECT b.query_id, b.q_label, tg.neighbor_id AS gold_id,
+                   b.gold_rank::INT AS gold_rank, tn.neighbor_id AS neg_id,
+                   b.neg_rank::INT AS neg_rank
+            FROM best b
+            JOIN tagged tg ON tg.query_id = b.query_id AND tg.rank = b.gold_rank
+            JOIN tagged tn ON tn.query_id = b.query_id AND tn.rank = b.neg_rank
+            WHERE b.gold_rank IS NOT NULL AND b.neg_rank IS NOT NULL
         """,
         "emb_label_stats": """
             SELECT label, count(*) AS n,

@@ -107,6 +107,49 @@ def score_pairs(
     return out.drop(*drop)
 
 
+def hard_negative_pairs(
+    topk: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """J7 reranker / hard-negative mining join: per query, pair the best
+    GOLD-labeled neighbor with the best NON-gold neighbor — the (gold
+    description, top non-gold candidate) training pair of the reference
+    (src/reranking/binary/create_dataset.py:89-121); also the contrastive
+    hard-negative selection of an LLM-training pipeline.
+
+    ``topk``: (query_id, neighbor_id, rank) from a kNN searcher.
+    ``labels``: (id_col, label_col) gold assignment.
+    Output: (query_id, q_label, gold_id, gold_rank, neg_id, neg_rank) for
+    queries whose top-k contains BOTH a gold and a non-gold neighbor (inner
+    join — the reference likewise drops mentions without a retrievable gold).
+
+    Scale shape: two broadcastable label joins + one groupBy(query) min-struct
+    aggregation; never a per-query array.
+    """
+    q_lbl = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    n_lbl = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    tagged = topk.join(q_lbl, "query_id").join(n_lbl, "neighbor_id")
+    is_gold = F.col("n_label") == F.col("q_label")
+    best = tagged.groupBy("query_id", "q_label").agg(
+        F.min(F.when(is_gold, F.struct("rank", "neighbor_id"))).alias("g"),
+        F.min(F.when(~is_gold, F.struct("rank", "neighbor_id"))).alias("x"),
+    )
+    return best.filter(F.col("g").isNotNull() & F.col("x").isNotNull()).select(
+        "query_id",
+        "q_label",
+        F.col("g.neighbor_id").alias("gold_id"),
+        F.col("g.rank").cast("int").alias("gold_rank"),
+        F.col("x.neighbor_id").alias("neg_id"),
+        F.col("x.rank").cast("int").alias("neg_rank"),
+    )
+
+
 def match_pairs(scored: DataFrame, threshold: float = 0.85, score_col: str = "score") -> DataFrame:
     """Threshold the fused score — the match decision (reference analogue:
     candidate-in-top-k membership, src/models/recall_calculator.py:100-110)."""
