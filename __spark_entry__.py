@@ -531,6 +531,65 @@ def q_crop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", crop.alias("crop"), marked.alias("marked"))
 
 
+SHUFFLE_SEED = 7
+
+
+def q_title_desc_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F3 coalesce + wrap + prefix-strip projection (damuel.py:119-191).
+    Odd doc_ids carry a real title (= their first two tokens, so the
+    description's duplicated prefix is stripped); even doc_ids fall back to
+    the alt title (no strip) — both branches exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.concat_ws(" ", F.slice(T.tokens("text"), 1, 2))
+    title = F.when(F.pmod("doc_id", F.lit(2)) == 1, t2)
+    return docs.select(
+        "doc_id",
+        T.title_desc_concat(title, F.lit("Doc"), F.col("text"), F.lit(None)).alias("entity_text"),
+    )
+
+
+def q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 deterministic seeded permutation (datasets.py:54-55, mixer.py:34-50):
+    position of every doc under the md5(key||seed) order."""
+    from mel_spark.operators.ordering import shuffle_key
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(shuffle_key(["doc_id"], SHUFFLE_SEED), "doc_id")
+    return docs.select("doc_id", F.row_number().over(w).cast("long").alias("shuffled_pos"))
+
+
+TM_WIDTH = 16
+
+
+def q_token_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5 token-matrix ops: fixed-width padded token ids + mention-centered
+    window crop (tokenizer_wrapper.py:6-15, tokens_cutter.py:59-160). The
+    mention span is synthesized deterministically (ms = n/4, len 3); both
+    matrices are exploded to scalar rows for the value-hash."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = (
+        docs.select("doc_id", T.token_ids("text").alias("ids"))
+        .select("doc_id", "ids", F.floor(F.size("ids") / 4).cast("int").alias("ms"))
+        .select(
+            "doc_id", "ids", "ms",
+            F.least(F.col("ms") + 3, F.size("ids")).cast("int").alias("me"),
+        )
+    )
+    mat = staged.select(
+        "doc_id",
+        T.pad_tokens(F.col("ids"), TM_WIDTH).alias("pad"),
+        T.mention_window(F.col("ids"), F.col("ms"), F.col("me"), TM_WIDTH).alias("win"),
+    )
+    return mat.select(
+        "doc_id", F.posexplode(F.arrays_zip("pad", "win")).alias("pos0", "pw")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("pw.pad").alias("pad_id"),
+        F.col("pw.win").alias("win_id"),
+    )
+
+
 def q_hash_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10/P9 hex-hash mod sharding (gathers.py:13-15): md5-bucket the docs."""
     docs = _t(spark, sf_dir, "documents")
@@ -652,6 +711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_remap": q_redirect_remap,
         "qid_parse": q_qid_parse,
         "crop_window": q_crop_window,
+        "title_desc_concat": q_title_desc_concat,
+        "seeded_shuffle": q_seeded_shuffle,
+        "token_matrix": q_token_matrix,
         "hash_bucket_counts": q_hash_bucket_counts,
         "ta_quality": q_ta_quality,
         "ta_token_stats": q_ta_token_stats,
@@ -928,6 +990,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, crop,
                    substr(crop, 1, 15) || '[M]' || substr(crop, 16, 10) || '[M]' || substr(crop, 26, 15) AS marked
             FROM c
+        """,
+        "title_desc_concat": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 2 = 1
+                          THEN array_to_string((string_split(text, ' '))[1:2], ' ')
+                          END AS title0
+              FROM documents
+            ), c AS (
+              SELECT doc_id, coalesce(title0, 'Doc') AS t, coalesce(text, '') AS d FROM s
+            )
+            SELECT doc_id,
+                   '[M]' || t || '[M]' || chr(10) ||
+                   (CASE WHEN starts_with(trim(d), trim(t))
+                         THEN substr(d, length(t) + 1, greatest(length(d) - length(t), 0))
+                         ELSE d END) AS entity_text
+            FROM c
+        """,
+        "seeded_shuffle": f"""
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5(doc_id::VARCHAR || chr(31) || '{SHUFFLE_SEED}'), doc_id
+                   )::BIGINT AS shuffled_pos
+            FROM documents
+        """,
+        "token_matrix": f"""
+            WITH ids0 AS (
+              SELECT doc_id, {O.token_ids('text')} AS ids FROM documents
+            ), sp AS (
+              SELECT doc_id, ids, (len(ids) // 4)::INT AS ms FROM ids0
+            ), sp2 AS (
+              SELECT doc_id, ids, ms, least(ms + 3, len(ids))::INT AS me FROM sp
+            ), mat AS (
+              SELECT doc_id, {O.pad_tokens('ids', TM_WIDTH)} AS pad,
+                     {O.mention_window('ids', 'ms', 'me', TM_WIDTH)} AS win
+              FROM sp2
+            )
+            SELECT doc_id, t.i::INT AS pos, pad[t.i] AS pad_id, win[t.i] AS win_id
+            FROM mat, unnest(range(1, {TM_WIDTH} + 1)) AS t(i)
         """,
         "hash_bucket_counts": """
             SELECT (('0x' || substr(md5(text), 1, 15))::BIGINT % 8)::INT AS bucket, count(*) AS n_docs

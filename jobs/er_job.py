@@ -65,7 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         p.error("one of --input / --synthesize is required")
 
     cfg = ERConfig() if args.threshold is None else ERConfig(threshold=args.threshold)
-    out = run_pipeline(spark, repos, args.checkpoint, cfg)
+    input_token = (
+        f"synthesize:{args.synthesize}:{args.seed}" if args.synthesize else str(args.input)
+    )
+    out = run_pipeline(spark, repos, args.checkpoint, cfg, input_token=input_token)
     from mel_spark.sources.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(args.checkpoint)

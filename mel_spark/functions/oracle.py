@@ -110,6 +110,48 @@ def langid_score(text: str, stopwords: list[str]) -> str:
     return f"len(list_filter({toks}, t -> t IN ({in_list})))"
 
 
+def token_ids(text: str, vocab: int = 1 << 20) -> str:
+    return (
+        f"list_transform({tokens(text)}, "
+        f"t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % {vocab} + 1)::INT)"
+    )
+
+
+def _zeros(width: int) -> str:
+    return "[" + ", ".join(["0"] * width) + "]"
+
+
+def pad_tokens(ids: str, width: int = 64) -> str:
+    """Truncate-and-right-pad-with-0 via zero-list concat + constant slice.
+    (DuckDB 1.0's list_resize throws std::bad_array_new_length on larger
+    batches, so the twin avoids it.)"""
+    return f"(({ids}) || {_zeros(width)})[1:{width}]"
+
+
+def mention_window(ids: str, ms: str, me: str, width: int = 64, reserve: int = 2) -> str:
+    """Twin of text.mention_window: same branch choice, slice, and padding.
+    ``ids``/``ms``/``me`` should be column references (CTE-staged), not
+    inline expressions — each is referenced several times."""
+    usable = width - reserve
+    n = f"len({ids})"
+    mlen = f"({me} - {ms})"
+    remains = f"({usable} - {mlen})"
+    left_start = f"({ms} - ({remains} // 2))"
+    right_end = f"({me} + ({remains} - {remains} // 2))"
+    too_large = f"({mlen} > {usable - 2})"
+    mid_ok = f"({left_start} >= 0 AND {right_end} <= {n})"
+    start = (
+        f"(CASE WHEN {too_large} THEN {ms} "
+        f"WHEN {mid_ok} THEN {left_start} "
+        f"WHEN {left_start} < 0 THEN 0 "
+        f"ELSE greatest({n} - {usable}, 0) END)"
+    )
+    length = f"(CASE WHEN {too_large} THEN {usable - 2} ELSE {usable} END)"
+    return (
+        f"((({ids})[({start} + 1):({start} + {length})]) || {_zeros(width)})[1:{width}]"
+    )
+
+
 def hyperplane_band_keys(
     emb: str, dim: int, n_planes: int = 16, bands: int = 4, seed: int = 42
 ) -> str:

@@ -19,12 +19,27 @@ from pyspark.sql.types import DoubleType
 try:  # pragma: no cover - environment-dependent fast path
     from rapidfuzz.distance import JaroWinkler as _RFJW
     from rapidfuzz.distance import Levenshtein as _RFLev
+    from rapidfuzz.process import cpdist as _rf_cpdist
 
     def _jw(a: str, b: str) -> float:
         return _RFJW.similarity(a, b)
 
     def _lev_norm(a: str, b: str) -> float:
         return _RFLev.normalized_similarity(a, b)
+
+    # element-wise batch kernels: one C call per Arrow batch (no per-row
+    # Python), rapidfuzz's cpdist is the pairwise (not cross-product) API
+    def _jw_batch(fa: pd.Series, fb: pd.Series) -> pd.Series:
+        return pd.Series(
+            _rf_cpdist(fa.tolist(), fb.tolist(), scorer=_RFJW.similarity),
+            dtype="float64",
+        )
+
+    def _lev_batch(fa: pd.Series, fb: pd.Series) -> pd.Series:
+        return pd.Series(
+            _rf_cpdist(fa.tolist(), fb.tolist(), scorer=_RFLev.normalized_similarity),
+            dtype="float64",
+        )
 
 except ImportError:
 
@@ -83,18 +98,22 @@ except ImportError:
             prev = cur
         return 1.0 - prev[la] / lb
 
+    # pure-Python fallback batches (still one Python frame per ~10k-row Arrow
+    # batch; only ever applied to short identifiers, never file content)
+    def _jw_batch(fa: pd.Series, fb: pd.Series) -> pd.Series:
+        return pd.Series([_jw(x, y) for x, y in zip(fa, fb)], dtype="float64")
+
+    def _lev_batch(fa: pd.Series, fb: pd.Series) -> pd.Series:
+        return pd.Series([_lev_norm(x, y) for x, y in zip(fa, fb)], dtype="float64")
+
 
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
     for sa, sb in a:
-        fa = sa.fillna("")
-        fb = sb.fillna("")
-        yield pd.Series([_jw(x, y) for x, y in zip(fa, fb)], dtype="float64")
+        yield _jw_batch(sa.fillna(""), sb.fillna(""))
 
 
 @F.pandas_udf(DoubleType())
 def levenshtein_norm_udf(a: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
     for sa, sb in a:
-        fa = sa.fillna("")
-        fb = sb.fillna("")
-        yield pd.Series([_lev_norm(x, y) for x, y in zip(fa, fb)], dtype="float64")
+        yield _lev_batch(sa.fillna(""), sb.fillna(""))

@@ -80,7 +80,9 @@ def shingle_hashes_from_token_ints(th_col: Column, n: int = 3) -> Column:
     8→32 local threads because allocation saturated the JVM; this is flat).
     Docs shorter than ``n`` clamp the tail index (same one-shingle semantics
     as shingles())."""
-    coefs = [1000003, 9176, 523717, 31, 65599][:n]
+    all_coefs = [1000003, 9176, 523717, 31, 65599]
+    assert n <= len(all_coefs), f"shingle n={n} exceeds {len(all_coefs)} mixing coefficients"
+    coefs = all_coefs[:n]
     m = F.greatest(F.size(th_col) - F.lit(n - 1), F.lit(1))
 
     def _gram(i: Column) -> Column:
@@ -136,7 +138,12 @@ def minhash_band_ints(sig_col: Column, bands: int, rows: int) -> Column:
     or md5 allocation. Collision probability across bands ~2⁻³¹ per pair and
     every candidate is exact-verified downstream, so spurious collisions only
     cost a verification, never correctness."""
-    coefs = [1000003, 9176, 523717, 31][:rows]
+    all_coefs = [1000003, 9176, 523717, 31]
+    assert rows <= len(all_coefs), (
+        f"rows-per-band={rows} exceeds {len(all_coefs)} mixing coefficients; "
+        "dropping signature minima silently would inflate band collisions"
+    )
+    coefs = all_coefs[:rows]
     keys = []
     for i in range(bands):
         acc = None
@@ -190,6 +197,89 @@ def simhash_from_ints(xs_col: Column, bits: int = 30) -> Column:
         ones = F.aggregate(h, F.lit(0).cast("long"), _bit_counter(1 << b))
         out = out + F.when(ones * 2 >= n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def token_ids(text: Column | str, vocab: int = 1 << 20) -> Column:
+    """Deterministic int token ids in [1, vocab] (0 reserved as the pad id) —
+    the engine's analogue of the HF tokenizer's input_ids
+    (src/data_processors/tokens/tokenizer_wrapper.py:6-15). md5-derived so the
+    DuckDB oracle computes identical ids."""
+    return F.transform(
+        tokens(text),
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(vocab) + 1
+        ).cast("int"),
+    )
+
+
+def pad_tokens(ids_col: Column, width: int = 64) -> Column:
+    """F4: fixed-width token row — truncate to ``width`` then right-pad with 0
+    (tokenizer_wrapper.py padding='max_length'/truncation=True). Output length
+    is exactly ``width``."""
+    sliced = F.slice(ids_col, 1, width)
+    return F.concat(
+        sliced,
+        F.array_repeat(F.lit(0).cast("int"), F.lit(width) - F.size(sliced)),
+    )
+
+
+def mention_window(
+    ids_col: Column, ms: Column, me: Column, width: int = 64, reserve: int = 2
+) -> Column:
+    """F5: mention-centered token crop (tokens_cutter.py:59-160), padded to
+    ``width``. ``ms``/``me`` are the 0-based [start, end) token span of the
+    mention. ``reserve`` mirrors the reference's two special-token slots.
+
+    Branches exactly as the reference chooses its cut method:
+     - mention longer than usable-2  → mention-only, truncated (_cut_only_mention)
+     - window fits around the mention → mid cut (half the remainder each side)
+     - mention near the left edge     → take more on the right
+     - mention near the right edge    → take more on the left
+    """
+    usable = width - reserve
+    n = F.size(ids_col)
+    mlen = me - ms
+    remains = F.lit(usable) - mlen
+    left_start = ms - F.floor(remains / 2).cast("int")
+    right_end = me + (remains - F.floor(remains / 2).cast("int"))
+    too_large = mlen > F.lit(usable - 2)
+    mid_ok = (left_start >= 0) & (right_end <= n)
+    start = (
+        F.when(too_large, ms)
+        .when(mid_ok, left_start)
+        .when(left_start < 0, F.lit(0))
+        .otherwise(F.greatest(n - F.lit(usable), F.lit(0)))
+    )
+    length = F.when(too_large, F.lit(usable - 2)).otherwise(F.lit(usable))
+    win = F.slice(ids_col, start.cast("int") + 1, length.cast("int"))
+    return F.concat(
+        win, F.array_repeat(F.lit(0).cast("int"), F.lit(width) - F.size(win))
+    )
+
+
+def title_desc_concat(
+    title: Column,
+    alt_title: Column,
+    desc: Column,
+    alt_desc: Column,
+    label_token: str = "[M]",
+) -> Column:
+    """P5/F3 entity text projection (loaders/damuel.py:119-191): title =
+    coalesce(title, alt_title); description = coalesce(desc, alt_desc, '');
+    the title is wrapped in the label token and the description's duplicated
+    title prefix is stripped (condition on trimmed strings, slice by raw title
+    length — exactly construct_text_from_title_and_description).
+
+    Callers drop rows where both title columns are null (the reference's
+    `continue`)."""
+    t = F.coalesce(title, alt_title)
+    d = F.coalesce(desc, alt_desc, F.lit(""))
+    wrapped = F.concat(F.lit(label_token), t, F.lit(label_token))
+    stripped = F.substring(
+        d, F.length(t) + 1, F.greatest(F.length(d) - F.length(t), F.lit(0))
+    )
+    body = F.when(F.startswith(F.trim(d), F.trim(t)), stripped).otherwise(d)
+    return F.concat(wrapped, F.lit("\n"), body)
 
 
 def doc_fingerprint(text: Column | str, n: int = 8) -> Column:

@@ -169,14 +169,22 @@ def minhash_long_blocks(
 
 def salt_hot_blocks(blocks: DataFrame, salt_threshold: int = 256, n_salts: int = 8) -> DataFrame:
     """Split blocks larger than ``salt_threshold`` into ``n_salts`` sub-blocks
-    by a deterministic member hash. Trades (bounded) recall inside mega-blocks
-    for a quadratic reduction in their pair fan-out — transitive clustering
-    re-merges what the pair stage still connects (north_rule skew handling)."""
+    by a deterministic hash of (block_key, member). Trades (bounded) recall
+    INSIDE each mega-block for a quadratic reduction in its pair fan-out
+    (north_rule skew handling).
+
+    The salt is derived from the pair (block_key, mention_id) — NOT the member
+    alone — so salts DECORRELATE across key families: two members split apart
+    in one hot band land together in other bands/sha/hyperplane blocks with
+    independent probability, their edge survives there, and transitive
+    clustering re-merges the cluster. (A member-only salt makes the same split
+    in every family, deterministically fragmenting any cluster whose blocks
+    are all hot.)"""
     from pyspark.sql.types import LongType
 
     sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_sz"))
     is_long = isinstance(blocks.schema["block_key"].dataType, LongType)
-    salt = F.pmod(F.xxhash64("mention_id"), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64("block_key", "mention_id"), F.lit(n_salts))
     salted_key = (
         F.xxhash64("block_key", salt)
         if is_long

@@ -174,20 +174,41 @@ def run_pipeline(
     repos: DataFrame,
     checkpoint_dir: str,
     cfg: ERConfig = ERConfig(),
+    input_token: str = "",
 ) -> dict[str, DataFrame]:
-    """Full resumable run; returns every stage DataFrame keyed by stage name."""
+    """Full resumable run; returns every stage DataFrame keyed by stage name.
+
+    ``input_token`` identifies the input (path / synth spec); it is hashed
+    with the full ERConfig into each stage's checkpoint fingerprint, so a
+    rerun against the same --checkpoint dir with a different threshold or
+    input recomputes instead of serving stale stages."""
+    import hashlib
+    import json
+    from dataclasses import asdict
+
+    fp = hashlib.sha256(
+        (json.dumps(asdict(cfg), sort_keys=True) + "\x00" + input_token).encode()
+    ).hexdigest()
     ckpt = CheckpointManager(checkpoint_dir)
-    mentions, _ = ckpt.get_or_compute("ingest", spark, lambda: ingest(repos), partition_by=["lang"])
-    embedded, _ = ckpt.get_or_compute("embed", spark, lambda: embed_stage(mentions, cfg))
-    blocks, _ = ckpt.get_or_compute("blocks", spark, lambda: block_stage(embedded, cfg))
-    scored, _ = ckpt.get_or_compute("pairs", spark, lambda: pair_stage(blocks, embedded, cfg))
+    mentions, _ = ckpt.get_or_compute(
+        "ingest", spark, lambda: ingest(repos), partition_by=["lang"], fingerprint=fp
+    )
+    embedded, _ = ckpt.get_or_compute(
+        "embed", spark, lambda: embed_stage(mentions, cfg), fingerprint=fp
+    )
+    blocks, _ = ckpt.get_or_compute(
+        "blocks", spark, lambda: block_stage(embedded, cfg), fingerprint=fp
+    )
+    scored, _ = ckpt.get_or_compute(
+        "pairs", spark, lambda: pair_stage(blocks, embedded, cfg), fingerprint=fp
+    )
     matches = pairs.match_pairs(scored, cfg.threshold)
 
     def _cluster() -> DataFrame:
         cc = cluster.connected_components(matches)
         return cluster.attach_singletons(cc, mentions.select("mention_id"))
 
-    clusters, _ = ckpt.get_or_compute("clusters", spark, _cluster)
+    clusters, _ = ckpt.get_or_compute("clusters", spark, _cluster, fingerprint=fp)
     return {
         "mentions": mentions,
         "embedded": embedded,

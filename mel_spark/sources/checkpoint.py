@@ -40,13 +40,33 @@ class CheckpointManager:
     def _marker(self, stage: str) -> str:
         return os.path.join(self.root, f"{stage}._MARKER.json")
 
-    def exists(self, stage: str) -> bool:
+    def exists(
+        self,
+        stage: str,
+        spark: SparkSession | None = None,
+        fingerprint: str | None = None,
+    ) -> bool:
+        """A checkpoint is valid iff the marker is complete, its recorded
+        fingerprint (config + input identity hash) matches the caller's, and —
+        when a session is supplied — the on-disk row count still equals the
+        recorded one. A rerun with a different threshold/input therefore
+        recomputes instead of silently serving the stale stage (ADVICE r1)."""
         m = self._marker(stage)
         if not os.path.exists(m):
             return False
         with open(m) as f:
             meta = json.load(f)
-        return os.path.isdir(self._path(stage)) and meta.get("status") == "complete"
+        if not (os.path.isdir(self._path(stage)) and meta.get("status") == "complete"):
+            return False
+        if fingerprint is not None and meta.get("fingerprint") != fingerprint:
+            return False
+        if spark is not None:
+            try:
+                if self.read(stage, spark).count() != meta.get("rows"):
+                    return False
+            except Exception:
+                return False
+        return True
 
     def write(
         self,
@@ -54,6 +74,7 @@ class CheckpointManager:
         df: DataFrame,
         partition_by: list[str] | None = None,
         src_partition: str = "all",
+        fingerprint: str | None = None,
     ) -> DataFrame:
         """Materialize a stage: add lineage columns, write, record the marker,
         return the re-read DataFrame (fresh lineage ⇒ no upstream recompute)."""
@@ -81,6 +102,7 @@ class CheckpointManager:
                     "rows": n,
                     "schema": reread.schema.simpleString(),
                     "schema_json": out.schema.json(),
+                    "fingerprint": fingerprint,
                     "status": "complete",
                     "written_at": time.time(),
                 },
@@ -107,13 +129,15 @@ class CheckpointManager:
         spark: SparkSession,
         compute,
         partition_by: list[str] | None = None,
+        fingerprint: str | None = None,
     ) -> tuple[DataFrame, bool]:
         """Resume protocol: (df, was_resumed). ``compute`` is a thunk returning
-        the stage DataFrame; it is not invoked when the checkpoint is valid."""
-        if self.exists(stage):
+        the stage DataFrame; it is not invoked when the checkpoint is valid
+        (marker complete + fingerprint match + recorded row count verified)."""
+        if self.exists(stage, spark, fingerprint):
             return self.read(stage, spark), True
         t0 = time.time()
-        out = self.write(stage, compute(), partition_by=partition_by)
+        out = self.write(stage, compute(), partition_by=partition_by, fingerprint=fingerprint)
         self._last_elapsed[stage] = time.time() - t0
         # record the stage wall-time in the marker (bench + lineage metrics)
         marker = self._marker(stage)

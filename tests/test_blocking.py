@@ -47,6 +47,32 @@ def test_salting_splits_hot_blocks(spark, skewed):
     assert cold.count() > 0
 
 
+def test_salting_decorrelates_across_key_families(spark):
+    """The salt must depend on (block_key, member), not the member alone:
+    a pair split apart in one hot block should co-occur in another hot block
+    for a decent fraction of pairs — else every cluster whose blocks are all
+    hot deterministically fragments (ADVICE r1)."""
+    n = 200
+    rows = [(f"m{i:04d}", k) for i in range(n) for k in ("hotA", "hotB")]
+    blocks = spark.createDataFrame(rows, ["mention_id", "block_key"])
+    salted = blocking.salt_hot_blocks(blocks, salt_threshold=50, n_salts=8)
+    key_of = {
+        (r["mention_id"], r["block_key"].split("#")[0]): r["block_key"]
+        for r in salted.collect()
+    }
+    import itertools
+
+    split_in_a = together_in_b = 0
+    for x, y in itertools.combinations([f"m{i:04d}" for i in range(60)], 2):
+        if key_of[(x, "hotA")] != key_of[(y, "hotA")]:
+            split_in_a += 1
+            together_in_b += key_of[(x, "hotB")] == key_of[(y, "hotB")]
+    # with independent salts ≈ 1/8 of A-split pairs reunite in B; member-only
+    # salts give exactly 0
+    assert split_in_a > 0
+    assert together_in_b / split_in_a > 0.05
+
+
 def test_minhash_blocking_recall_on_planted_pairs(spark, tiny_tables):
     """≥99% of gold same-entity pairs must share ≥1 minhash band key
     (the ScaNN-tuning analogue: SURVEY.md §7.3 blocking recall)."""

@@ -59,3 +59,30 @@ def test_elapsed_recorded(spark, tmp_path):
     mgr = CheckpointManager(str(tmp_path))
     mgr.get_or_compute("s4", spark, lambda: spark.range(2))
     assert mgr.counters("s4")["elapsed_sec"] > 0
+
+
+def test_fingerprint_mismatch_recomputes(spark, tmp_path):
+    """Same checkpoint dir, different config/input fingerprint → the stale
+    stage must NOT be served (ADVICE r1: threshold change consistency)."""
+    mgr = CheckpointManager(str(tmp_path))
+    out, resumed = mgr.get_or_compute("s5", spark, lambda: spark.range(3), fingerprint="cfgA")
+    assert not resumed
+    out, resumed = mgr.get_or_compute("s5", spark, lambda: spark.range(3), fingerprint="cfgA")
+    assert resumed
+    out, resumed = mgr.get_or_compute("s5", spark, lambda: spark.range(7), fingerprint="cfgB")
+    assert not resumed and out.count() == 7
+
+
+def test_row_count_revalidated_on_resume(spark, tmp_path):
+    """exists() re-checks the recorded row count against the on-disk table —
+    a truncated/corrupt checkpoint recomputes instead of resuming."""
+    import glob
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.get_or_compute("s6", spark, lambda: spark.range(100).repartition(4))
+    # delete one data file to corrupt the stage
+    part = glob.glob(os.path.join(str(tmp_path), "s6", "part-*"))[0]
+    os.remove(part)
+    assert not mgr.exists("s6", spark)
+    out, resumed = mgr.get_or_compute("s6", spark, lambda: spark.range(100))
+    assert not resumed and out.count() == 100

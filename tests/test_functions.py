@@ -6,6 +6,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from mel_spark.functions import text as T
 from mel_spark.functions.strings import _jw, _lev_norm
 from mel_spark.operators.alias_table import alias_candidates, build_alias_table, probe_alias_table
 from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf, recall_at_k
@@ -179,3 +180,55 @@ def test_embed_buckets_udf_matches_manual(spark):
             assert np.allclose(np.array(r["emb"]), v, atol=1e-6)
         else:
             assert all(x == 0.0 for x in r["emb"])
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 token-matrix ops (tokenizer_wrapper.py:6-15, tokens_cutter.py:59-160)
+# ---------------------------------------------------------------------------
+
+def _window(spark, n_tokens, ms, me, width=10):
+    """mention_window over token ids 1..n (identity ids for readability)."""
+    df = spark.createDataFrame([(list(range(1, n_tokens + 1)), ms, me)], ["ids", "ms", "me"])
+    return (
+        df.select(T.mention_window(F.col("ids"), F.col("ms"), F.col("me"), width).alias("w"))
+        .collect()[0]["w"]
+    )
+
+
+def test_pad_tokens_truncates_and_pads(spark):
+    df = spark.createDataFrame([([1, 2, 3],), (list(range(1, 20)),)], ["ids"])
+    got = [r["p"] for r in df.select(T.pad_tokens(F.col("ids"), 5).alias("p")).collect()]
+    assert got[0] == [1, 2, 3, 0, 0]
+    assert got[1] == [1, 2, 3, 4, 5]
+
+
+def test_token_ids_zero_is_reserved_pad(spark):
+    df = spark.createDataFrame([("a b c d e",)], ["text"])
+    ids = df.select(T.token_ids("text").alias("i")).collect()[0]["i"]
+    assert all(i >= 1 for i in ids)
+
+
+def test_mention_window_mid_cut(spark):
+    # 20 tokens, mention [9, 12), width 10 (usable 8): remains 5 → left 2,
+    # right 3 → window tokens 8..15 (ids 8..15), padded to 10
+    assert _window(spark, 20, 9, 12) == [8, 9, 10, 11, 12, 13, 14, 15, 0, 0]
+
+
+def test_mention_window_left_edge_takes_more_right(spark):
+    # mention at the very start → window = first `usable` tokens
+    assert _window(spark, 20, 0, 3) == [1, 2, 3, 4, 5, 6, 7, 8, 0, 0]
+
+
+def test_mention_window_right_edge_takes_more_left(spark):
+    # mention at the very end → window = last `usable` tokens
+    assert _window(spark, 20, 17, 20) == [13, 14, 15, 16, 17, 18, 19, 20, 0, 0]
+
+
+def test_mention_window_too_large_mention_is_mention_only(spark):
+    # mention longer than usable-2 → mention-only, truncated to usable-2
+    assert _window(spark, 20, 2, 12) == [3, 4, 5, 6, 7, 8, 9, 10, 0, 0][:6] + [0, 0, 0, 0]
+
+
+def test_mention_window_short_doc_pads(spark):
+    # doc shorter than the window → whole doc, padded
+    assert _window(spark, 4, 1, 2) == [1, 2, 3, 4, 0, 0, 0, 0, 0, 0]
