@@ -103,6 +103,153 @@ def embed_buckets_udf(dim: int = EMB_DIM, vocab_buckets: int = 4096, seed: int =
     return _embed
 
 
+def featurize_map(
+    dim: int = EMB_DIM,
+    vocab_buckets: int = 4096,
+    seed: int = 42,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    th_col: str = "_th",
+    id_col: str = "csid",
+):
+    """One Arrow pass computing EVERY per-document feature the ER pipeline
+    needs — embedding, sorted-distinct shingle hashes (xs), and minhash band
+    keys — vectorized ACROSS the batch (no per-document Python loop on the
+    hot path). Input rows: (id_col, th_col = pre-hashed token ints from
+    text.token_int_hashes, the one JVM xxhash64 pass). Returns a mapInPandas
+    function + output schema.
+
+    Why: the Catalyst form of this computation (32 `transform` permutations ×
+    `array_min` over ~80-element arrays per row) allocates a fresh array per
+    permutation per row — JVM allocation/GC saturates and the stage scaled
+    only ~1.5× from 2→8 threads (BENCH r1). Here the same integer math runs
+    as ~40 flat NumPy passes per 10k-row batch in C, allocation-light, and
+    Python workers scale linearly with cores.
+
+    The formulas are BIT-IDENTICAL to the Catalyst builders
+    (text.shingle_hashes_from_token_ints / minhash_signature_from_ints /
+    minhash_band_ints), verified by tests — same blocks, same pairs, same F1.
+    Reference analogue: the embed + index build fused pass
+    (src/utils/embeddings.py:55-123, src/baselines/olpeat/find_recall.py:76-118).
+    """
+    from pyspark.sql.types import (
+        ArrayType as _Arr,
+        FloatType as _Flt,
+        IntegerType as _Int,
+        LongType as _Lng,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from mel_spark.functions.text import MINHASH_P, _minhash_params
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh_coefs = np.array([1000003, 9176, 523717, 31, 65599][:shingle_n], dtype=np.int64)
+    band_coefs = np.array([1000003, 9176, 523717, 31][:rows_per_band], dtype=np.int64)
+    params = np.array(_minhash_params(num_hashes, 42), dtype=np.int64)  # (H, 2)
+    proj = _projection_matrix(dim, vocab_buckets, seed)
+    P = np.int64(MINHASH_P)
+    band_mod = np.int64(MINHASH_P * 4)
+
+    schema = _ST(
+        [
+            _SF(id_col, _Lng()),
+            _SF("emb", _Arr(_Flt())),
+            _SF("xs", _Arr(_Lng())),
+            _SF("bands", _Arr(_Lng())),
+        ]
+    )
+
+    def _clamped_grams(t: np.ndarray) -> np.ndarray:
+        # docs shorter than shingle_n: one gram with tail indices clamped —
+        # same semantics as text.shingle_hashes_from_token_ints
+        idx = np.minimum(np.arange(shingle_n), len(t) - 1)
+        return np.array([(t[idx] * sh_coefs).sum() % P], dtype=np.int64)
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            th = pdf[th_col]
+            D = len(th)
+            if D == 0:
+                yield pd.DataFrame({id_col: [], "emb": [], "xs": [], "bands": []})
+                continue
+            lens = np.fromiter((len(t) for t in th), np.int64, D)
+            flat = (
+                np.concatenate([np.asarray(t, np.int64) for t in th])
+                if lens.sum()
+                else np.empty(0, np.int64)
+            )
+            doc_starts = np.zeros(D, np.int64)
+            np.cumsum(lens[:-1], out=doc_starts[1:])
+
+            # ---- embedding: bucket gather + segmented sum (buckets = th mod
+            # vocab_buckets, exact because vocab_buckets divides 2^30) ----
+            vecs = np.zeros((D, dim), dtype=np.float32)
+            nz = lens > 0
+            if nz.any():
+                starts_nz = doc_starts[nz]
+                # vocab_buckets is a power of two → mask instead of modulo
+                vecs[nz] = np.add.reduceat(
+                    proj[flat & np.int64(vocab_buckets - 1)], starts_nz, axis=0
+                )
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs /= norms
+
+            # ---- shingle hashes: shifted-add convolution over the flat
+            # token-hash array, masked to within-document positions ----
+            total = len(flat)
+            g = sh_coefs[0] * flat
+            for j in range(1, shingle_n):
+                g[: total - j] += sh_coefs[j] * flat[j:]
+            g %= P
+            docidx = np.repeat(np.arange(D, dtype=np.int64), lens)
+            pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts[docidx]
+            valid = pos_in_doc <= lens[docidx] - shingle_n
+            sh = g[valid]
+            sh_doc = docidx[valid]
+            shorts = np.flatnonzero(lens < shingle_n)
+            if len(shorts):
+                extra = [_clamped_grams(np.asarray(th.iloc[int(s)], np.int64)) for s in shorts]
+                sh = np.concatenate([sh, np.concatenate(extra)])
+                sh_doc = np.concatenate(
+                    [sh_doc, np.repeat(shorts.astype(np.int64), [len(e) for e in extra])]
+                )
+
+            # ---- per-doc sorted-distinct via one global unique over
+            # (doc << 31 | hash); hashes < P < 2^31 so the pack is lossless ----
+            u = np.unique((sh_doc << np.int64(31)) | sh)
+            u_doc = u >> np.int64(31)
+            u_val = u & np.int64((1 << 31) - 1)
+            starts_u = np.searchsorted(u_doc, np.arange(D, dtype=np.int64))
+            xs_lists = np.split(u_val, starts_u[1:])
+
+            # ---- minhash signature minima + integer band keys ----
+            sig = np.empty((D, num_hashes), dtype=np.int64)
+            for h in range(num_hashes):
+                ph = (params[h, 0] * u_val + params[h, 1]) % P
+                sig[:, h] = np.minimum.reduceat(ph, starts_u)
+            band_keys = np.zeros((D, bands), dtype=np.int64)
+            for b in range(bands):
+                acc = np.zeros(D, dtype=np.int64)
+                for j in range(rows_per_band):
+                    acc += band_coefs[j] * sig[:, b * rows_per_band + j]
+                band_keys[:, b] = (acc + np.int64(b) * np.int64(1_000_000_007)) % band_mod
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "emb": list(vecs),
+                    "xs": xs_lists,
+                    "bands": list(band_keys),
+                }
+            )
+
+    return _featurize, schema
+
+
 def embed_text_udf(dim: int = EMB_DIM, vocab_buckets: int = 4096, seed: int = 42):
     """Arrow-batched embedder: text → L2-normalized float[dim].
 

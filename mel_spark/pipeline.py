@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mel_spark.functions import text as T
-from mel_spark.functions.vectors import embed_buckets_udf
 from mel_spark.operators import blocking, cluster, pairs
 from mel_spark.sources.checkpoint import CheckpointManager
 
@@ -56,7 +55,16 @@ def ingest(repos: DataFrame) -> DataFrame:
 
     Columns are cast to the contract schema (input_hint: all string) so
     schema-drifted sources (e.g. an empty parquet with inferred types) fail
-    soft instead of breaking sha2 type checks."""
+    soft instead of breaking sha2 type checks.
+
+    ``mid`` = xxhash64(mention_id) is the 8-byte WORKING id every downstream
+    shuffle keys on (blocks, pairs, connected components): a 64-char sha hex
+    string costs ~8× the shuffle bytes, sort width, and hash-table churn of a
+    long, and the blocks/pairs stages shuffle ~17 rows per mention. The sha
+    string remains the durable identity — final cluster output joins back to
+    it. Collision envelope: n²/2⁶⁵ spurious-merge probability (~3e-8 at 10⁶
+    rows); at the 10^12-file tier swap ``mid`` for a 128-bit (2-long) key —
+    same plan shape, double key width."""
     repos = repos.select(*[F.col(c).cast("string").alias(c) for c in
                            ("repo", "path", "commit", "lang", "content")])
     return repos.select(
@@ -67,65 +75,67 @@ def ingest(repos: DataFrame) -> DataFrame:
         "lang",
         "content",
         T.content_sha("content").alias("content_sha"),
-    )
+    ).withColumn("mid", F.xxhash64("mention_id"))
 
 
 def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
-    """Stage 3: dedup distinct contents BEFORE embedding (the reference's
+    """Stage 3: dedup distinct contents BEFORE featurizing (the reference's
     wasted-resources lesson, src/baselines/olpeat/at_embeddings.py:4-8), then
-    join vectors back to all mentions on content_sha.
+    join features back to all mentions on the 8-byte content hash.
 
-    Alongside the embedding we materialize ``xs`` — the sorted distinct
-    md5-int hashes of the content's shingles. Blocking minhash AND jaccard
-    verification both derive from it, so the expensive hash pass is paid once
-    per distinct content and the pair shuffle carries 8-byte ints, not
-    shingle strings."""
-    distinct_contents = mentions.select("content_sha", "content").dropDuplicates(["content_sha"])
-    embedder = embed_buckets_udf(dim=cfg.emb_dim, seed=cfg.seed)
-    # fast-path hashing: one native xxhash64 pass per token (staged into its
-    # own projection), shingle hashes by integer arithmetic, embedding buckets
-    # JVM-side → the Arrow UDF is a pure NumPy gather-sum
-    feats = (
-        distinct_contents.select(
-            "content_sha",
-            T.token_int_hashes("content").alias("_th"),
-            T.token_bucket_ids("content").alias("_tb"),
-        )
-        .select(
-            "content_sha",
-            embedder("_tb").alias("emb"),
-            F.array_sort(
-                F.array_distinct(T.shingle_hashes_from_token_ints(F.col("_th"), cfg.shingle_n))
-            ).alias("xs"),
-        )
+    ONE fused Arrow pass (vectors.featurize_map) computes the embedding, the
+    sorted-distinct shingle-hash set ``xs`` (reused by the pair stage's
+    jaccard verification) and the minhash ``bands`` keys — batch-vectorized
+    NumPy, fed by a single JVM xxhash64 pass per token. The Catalyst form of
+    the minhash permutations allocated one array per permutation per row and
+    capped 2→8-thread scaling at ~1.5× (BENCH r1); the fused pass removes
+    that JVM allocation entirely."""
+    from mel_spark.functions.vectors import featurize_map
+
+    m = mentions.withColumn("csid", F.xxhash64("content_sha"))
+    distinct_contents = m.select("csid", "content").dropDuplicates(["csid"])
+    feat_fn, feat_schema = featurize_map(
+        dim=cfg.emb_dim,
+        seed=cfg.seed,
+        shingle_n=cfg.shingle_n,
+        num_hashes=cfg.minhash_hashes,
+        bands=cfg.minhash_bands,
     )
-    # content itself is NOT carried forward: downstream stages key exact blocks
-    # on content_sha and score on emb/xs — dropping the raw string ~halves the
-    # join shuffle and the checkpoint write
-    return mentions.drop("content").join(feats, "content_sha")
+    feats = distinct_contents.select(
+        "csid", T.token_int_hashes("content").alias("_th")
+    ).mapInPandas(feat_fn, feat_schema)
+    # the embed output is the hot-path working set: long ids + features only.
+    # content/repo/commit/content_sha live in the ingest checkpoint; dropping
+    # them here cuts the join shuffle and every downstream scan (~5× smaller
+    # rows). mention_id (sha) is kept for lineage joins and tests.
+    return m.select("mid", "mention_id", "path", "lang", "csid").join(feats, "csid")
 
 
 def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
-    """Stage 4: union of key families, then skew controls (salt → cap)."""
-    # all block keys are LONGS (xxhash64 composites): an 8-byte shuffle key
-    # instead of 40+-char strings; exact blocks reuse the ingest sha
+    """Stage 4: union of key families, then skew controls (salt → cap).
+
+    Both the key AND the member id are 8-byte longs: the exploded block table
+    (~17 rows/mention) is the pipeline's biggest shuffle, and the cap/salt
+    windows sort it — 16-byte rows keep that sort allocation-light."""
     b_exact = embedded.select(
-        F.xxhash64(F.lit("sha"), F.col("content_sha")).alias("block_key"),
-        F.col("mention_id"),
+        F.xxhash64(F.lit("sha"), F.col("csid")).alias("block_key"),
+        F.col("mid").alias("mention_id"),
     )
-    b_mh = blocking.minhash_long_blocks(
-        embedded,
+    # band ints are precomputed by the fused featurizer — blocking is just an
+    # explode + one xxhash64 mixing in the lang (no array math here)
+    b_mh = embedded.select(
+        F.col("mid").alias("mention_id"),
+        F.explode("bands").alias("_band"),
+        "lang",
+    ).select(
+        F.xxhash64(F.lit("mh"), F.col("_band"), F.col("lang")).alias("block_key"),
         "mention_id",
-        "xs",
-        lang_col="lang",
-        num_hashes=cfg.minhash_hashes,
-        bands=cfg.minhash_bands,
     )
     blocks = b_exact.unionByName(b_mh)
     if cfg.use_hyperplane_blocks:
         b_hp = blocking.hyperplane_blocks(
             embedded,
-            "mention_id",
+            "mid",
             "emb",
             dim=cfg.emb_dim,
             n_planes=cfg.hyperplane_planes,
@@ -139,9 +149,9 @@ def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
 
 def pair_stage(blocks: DataFrame, embedded: DataFrame, cfg: ERConfig) -> DataFrame:
     cand = pairs.candidate_pairs(blocks)
-    records = embedded.select("mention_id", "emb", "path", "xs").dropDuplicates(
-        ["mention_id"]
-    )
+    records = embedded.select(
+        F.col("mid").alias("mention_id"), "emb", "path", "xs"
+    ).dropDuplicates(["mention_id"])
     scored = pairs.score_pairs(
         cand,
         records,
@@ -205,8 +215,16 @@ def run_pipeline(
     matches = pairs.match_pairs(scored, cfg.threshold)
 
     def _cluster() -> DataFrame:
+        # CC runs entirely on long mids; the sha mention_id is joined back in
+        # ONE final pass (the only string shuffle after ingest)
         cc = cluster.connected_components(matches)
-        return cluster.attach_singletons(cc, mentions.select("mention_id"))
+        cl = cluster.attach_singletons(cc, mentions.select(F.col("mid").alias("mention_id")))
+        id_map = mentions.select("mid", F.col("mention_id").alias("_sha_id"))
+        return (
+            cl.withColumnRenamed("mention_id", "mid")
+            .join(id_map, "mid")
+            .select(F.col("_sha_id").alias("mention_id"), "cluster_id")
+        )
 
     clusters, _ = ckpt.get_or_compute("clusters", spark, _cluster, fingerprint=fp)
     return {

@@ -27,7 +27,11 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+        # FIXED across parallelism levels (a real cluster job ships one
+        # shuffle.partitions regardless of executor count): pinning it to the
+        # cpu count made the N-vs-4N comparison partly a partitioning
+        # artifact (VERDICT r1). AQE coalesces small shuffles per level.
+        shuffle_partitions = 64
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -232,3 +232,42 @@ def test_mention_window_too_large_mention_is_mention_only(spark):
 def test_mention_window_short_doc_pads(spark):
     # doc shorter than the window → whole doc, padded
     assert _window(spark, 4, 1, 2) == [1, 2, 3, 4, 0, 0, 0, 0, 0, 0]
+
+
+def test_featurize_map_matches_catalyst_builders(spark):
+    """The fused NumPy featurizer (pipeline hot path) must be BIT-IDENTICAL
+    to the Catalyst builders it replaces: same xs set, same band ints, same
+    embedding — so blocks/pairs/F1 are unchanged by the rewrite."""
+    from mel_spark.functions import vectors as V
+
+    docs = spark.createDataFrame(
+        [(1, "def0 class1 import2 def0 class1 return3 self4"),
+         (2, "a"),                      # shorter than shingle_n → clamped gram
+         (3, "x1 y2"),                  # len 2 < 3
+         (4, "merge5 hash6 token7 emb8 score9 merge5 hash6 token7")],
+        ["csid", "content"],
+    )
+    staged = docs.select("csid", T.token_int_hashes("content").alias("_th"))
+    # JVM reference: xs + sig→bands + emb
+    jvm = staged.select(
+        "csid",
+        F.array_sort(F.array_distinct(T.shingle_hashes_from_token_ints(F.col("_th"), 3))).alias("xs"),
+        T.minhash_band_ints(
+            T.minhash_signature_from_ints(
+                F.array_sort(F.array_distinct(T.shingle_hashes_from_token_ints(F.col("_th"), 3))), 32
+            ),
+            16, 2,
+        ).alias("bands"),
+        V.embed_buckets_udf(64)(
+            F.transform(F.col("_th"), lambda x: (x % F.lit(4096)).cast("int"))
+        ).alias("emb"),
+    ).collect()
+    feat_fn, feat_schema = V.featurize_map(dim=64, shingle_n=3, num_hashes=32, bands=16)
+    got = {r["csid"]: r for r in staged.mapInPandas(feat_fn, feat_schema).collect()}
+    for r in jvm:
+        g = got[r["csid"]]
+        assert list(g["xs"]) == list(r["xs"]), f"xs mismatch csid={r['csid']}"
+        assert list(g["bands"]) == list(r["bands"]), f"bands mismatch csid={r['csid']}"
+        import numpy as np
+
+        assert np.allclose(np.array(g["emb"]), np.array(r["emb"]), atol=1e-6)
