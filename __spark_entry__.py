@@ -303,9 +303,10 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate kNN (the ScaNN analogue). Hyperplanes are
-    seeded NumPy — not SQL-expressible, so the driver records the weaker
-    rows-only check (no oracle entry by design)."""
+    """Hyperplane-LSH approximate kNN (the ScaNN analogue). The seeded plane
+    weights are inlined as literals into BOTH engines' plans
+    (oracle.hyperplane_band_keys), so this approximate path is fully
+    oracle-matched, not rows-only."""
     from mel_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -809,6 +810,28 @@ def oracle_sql() -> dict[str, str]:
                    {O.cosine('a.embedding', 'b.embedding')} AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {O.cosine('a.embedding', 'b.embedding')} >= {EMB_DUP_T}
+        """,
+        "knn_lsh": f"""
+            WITH qb AS (
+              SELECT vec_id AS query_id,
+                     unnest({O.hyperplane_band_keys('embedding', EMB_DIM, 12, 6, 42)}) AS block_key
+              FROM embeddings WHERE vec_id < {KNN_MAX_QID}
+            ), ib AS (
+              SELECT vec_id AS neighbor_id,
+                     unnest({O.hyperplane_band_keys('embedding', EMB_DIM, 12, 6, 42)}) AS block_key
+              FROM embeddings
+            ), cand AS (
+              SELECT DISTINCT query_id, neighbor_id
+              FROM qb JOIN ib USING (block_key) WHERE query_id != neighbor_id
+            ), scored AS (
+              SELECT c.query_id, c.neighbor_id, {O.cosine('q.embedding', 'i.embedding')} AS cos
+              FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                          JOIN embeddings i ON c.neighbor_id = i.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
         """,
         "emb_near_dup_lsh": f"""
             WITH blocks AS (

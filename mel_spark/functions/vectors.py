@@ -153,11 +153,13 @@ def featurize_map(
     P = np.int64(MINHASH_P)
     band_mod = np.int64(MINHASH_P * 4)
 
+    # xs values are md5/xxhash-derived ints < 2^30 → int32 halves the bytes of
+    # the pipeline's widest payload column (shuffles, checkpoints, Arrow)
     schema = _ST(
         [
             _SF(id_col, _Lng()),
             _SF("emb", _Arr(_Flt())),
-            _SF("xs", _Arr(_Lng())),
+            _SF("xs", _Arr(_Int())),
             _SF("bands", _Arr(_Lng())),
         ]
     )
@@ -224,7 +226,7 @@ def featurize_map(
             u_doc = u >> np.int64(31)
             u_val = u & np.int64((1 << 31) - 1)
             starts_u = np.searchsorted(u_doc, np.arange(D, dtype=np.int64))
-            xs_lists = np.split(u_val, starts_u[1:])
+            xs_lists = np.split(u_val.astype(np.int32), starts_u[1:])
 
             # ---- minhash signature minima + integer band keys ----
             sig = np.empty((D, num_hashes), dtype=np.int64)

@@ -107,6 +107,112 @@ def score_pairs(
     return out.drop(*drop)
 
 
+def score_pairs_fused_arrow(
+    cand: DataFrame,
+    records: DataFrame,
+    id_col: str = "mention_id",
+    emb_col: str = "emb",
+    xs_col: str = "xs",
+    w_cos: float = 0.6,
+    w_jaccard: float = 0.4,
+) -> DataFrame:
+    """Pipeline fast path: cosine ⊕ jaccard fused score computed in ONE
+    batch-vectorized NumPy pass (mapInPandas) instead of Catalyst
+    zip_with/aggregate folds + array_intersect, which allocate per-row arrays
+    and were the pair stage's GC hotspot at scale.
+
+    ``records`` rows must carry L2-normalized ``emb`` (the featurizer output,
+    so cosine ≡ dot) and sorted-distinct ``xs``. Jaccard is computed for the
+    whole batch at once with the same global pack-unique trick as the
+    featurizer (union size = distinct count of the concatenated sets).
+    Output: (id_a, id_b, block_key, cos, jaccard, score) rounded HALF_UP 6dp.
+    """
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType as _Dbl,
+        LongType as _Lng,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    side = records.select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"), F.col(xs_col).alias("_xs")
+    )
+    joined = (
+        cand.join(
+            side.select(
+                F.col("_id").alias("mention_id_a"),
+                F.col("_emb").alias("_emb_a"),
+                F.col("_xs").alias("_xs_a"),
+            ),
+            "mention_id_a",
+        )
+        .join(
+            side.select(
+                F.col("_id").alias("mention_id_b"),
+                F.col("_emb").alias("_emb_b"),
+                F.col("_xs").alias("_xs_b"),
+            ),
+            "mention_id_b",
+        )
+    )
+    total_w = (w_cos + w_jaccard) or 1.0
+    schema = _ST(
+        [
+            _SF("mention_id_a", _Lng()),
+            _SF("mention_id_b", _Lng()),
+            _SF("block_key", _Lng()),
+            _SF("cos", _Dbl()),
+            _SF("jaccard", _Dbl()),
+            _SF("score", _Dbl()),
+        ]
+    )
+
+    def _round6(x: np.ndarray) -> np.ndarray:
+        # HALF_UP like F.round (np.round is banker's)
+        return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
+
+    def _score(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
+            ea = np.stack(pdf["_emb_a"].to_numpy()).astype(np.float64)
+            eb = np.stack(pdf["_emb_b"].to_numpy()).astype(np.float64)
+            cos = _round6(np.einsum("ij,ij->i", ea, eb))
+            la = np.fromiter((len(x) for x in pdf["_xs_a"]), np.int64, B)
+            lb = np.fromiter((len(x) for x in pdf["_xs_b"]), np.int64, B)
+            flat = np.concatenate(
+                [np.concatenate([np.asarray(x, np.int64) for x in pdf["_xs_a"]]),
+                 np.concatenate([np.asarray(x, np.int64) for x in pdf["_xs_b"]])]
+            )
+            ridx = np.concatenate(
+                [np.repeat(np.arange(B, dtype=np.int64), la),
+                 np.repeat(np.arange(B, dtype=np.int64), lb)]
+            )
+            union = np.bincount(
+                np.unique((ridx << np.int64(31)) | flat) >> np.int64(31), minlength=B
+            )
+            inter = la + lb - union
+            jac = _round6(inter / np.maximum(union, 1))
+            score = _round6((w_cos * cos + w_jaccard * jac) / total_w)
+            yield pd.DataFrame(
+                {
+                    "mention_id_a": pdf["mention_id_a"].to_numpy(),
+                    "mention_id_b": pdf["mention_id_b"].to_numpy(),
+                    "block_key": pdf["block_key"].to_numpy(),
+                    "cos": cos,
+                    "jaccard": jac,
+                    "score": score,
+                }
+            )
+
+    return joined.mapInPandas(_score, schema)
+
+
 def hard_negative_pairs(
     topk: DataFrame,
     labels: DataFrame,

@@ -1,13 +1,21 @@
 """End-to-end entity-resolution pipeline (SURVEY.md §7.1).
 
 repos(repo, path, commit, lang, content)
-  → ingest (sha256 invariant, mention_id)             [stage: ingest]
-  → exact dedup groups feed cheap block keys
-  → embed (Arrow UDF bi-encoder)                      [stage: embed]
-  → block (sha ∪ (lang,minhash-band) ∪ hyperplane)    [stage: blocks]
-  → candidate pairs + fused scoring                   [stage: pairs]
+  → ingest (sha256 invariant, mention_id, long working ids)  [stage: ingest]
+  → embed: featurize DISTINCT CONTENTS only                  [stage: embed]
+  → block (lang × minhash-band [∪ hyperplane])               [stage: blocks]
+  → candidate pairs + fused scoring                          [stage: pairs]
   → threshold → matches
-  → large-star/small-star connected components        [stage: clusters]
+  → connected components over contents → expand to mentions  [stage: clusters]
+
+THE CENTRAL SCALE DECISION: blocking, pairing, and clustering run at the
+DISTINCT-CONTENT level (csid), not the mention level. Byte-identical files
+are the same entity by definition (the per-row sha256 invariant), so exact
+duplicates never generate blocks, pairs, or edges — they rejoin in one final
+expansion pass. This extends the reference's dedup-before-embedding lesson
+(src/baselines/olpeat/at_embeddings.py:4-8) to the whole pipeline: on real
+code corpora (fork-heavy, vendored deps) the dedup ratio is huge, and the
+quadratic stages only ever see the deduplicated working set.
 
 Every stage checkpoints via CheckpointManager (resume = skip green stages).
 The reference's pipeline shape being re-expressed: tokenize → embed →
@@ -67,21 +75,26 @@ def ingest(repos: DataFrame) -> DataFrame:
     same plan shape, double key width."""
     repos = repos.select(*[F.col(c).cast("string").alias(c) for c in
                            ("repo", "path", "commit", "lang", "content")])
-    return repos.select(
-        F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("mention_id"),
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        "content",
-        T.content_sha("content").alias("content_sha"),
-    ).withColumn("mid", F.xxhash64("mention_id"))
+    return (
+        repos.select(
+            F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("mention_id"),
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            T.content_sha("content").alias("content_sha"),
+        )
+        .withColumn("mid", F.xxhash64("mention_id"))
+        .withColumn("csid", F.xxhash64("content_sha"))
+    )
 
 
 def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
-    """Stage 3: dedup distinct contents BEFORE featurizing (the reference's
-    wasted-resources lesson, src/baselines/olpeat/at_embeddings.py:4-8), then
-    join features back to all mentions on the 8-byte content hash.
+    """Stage 3: featurize DISTINCT CONTENTS only — output is keyed by csid,
+    NOT joined back to mentions (the reference's wasted-resources lesson,
+    src/baselines/olpeat/at_embeddings.py:4-8, applied structurally: the
+    mention↔content expansion happens once, after clustering).
 
     ONE fused Arrow pass (vectors.featurize_map) computes the embedding, the
     sorted-distinct shingle-hash set ``xs`` (reused by the pair stage's
@@ -92,8 +105,7 @@ def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
     that JVM allocation entirely."""
     from mel_spark.functions.vectors import featurize_map
 
-    m = mentions.withColumn("csid", F.xxhash64("content_sha"))
-    distinct_contents = m.select("csid", "content").dropDuplicates(["csid"])
+    distinct_contents = mentions.select("csid", "content").dropDuplicates(["csid"])
     feat_fn, feat_schema = featurize_map(
         dim=cfg.emb_dim,
         seed=cfg.seed,
@@ -101,41 +113,42 @@ def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
         num_hashes=cfg.minhash_hashes,
         bands=cfg.minhash_bands,
     )
-    feats = distinct_contents.select(
+    return distinct_contents.select(
         "csid", T.token_int_hashes("content").alias("_th")
     ).mapInPandas(feat_fn, feat_schema)
-    # the embed output is the hot-path working set: long ids + features only.
-    # content/repo/commit/content_sha live in the ingest checkpoint; dropping
-    # them here cuts the join shuffle and every downstream scan (~5× smaller
-    # rows). mention_id (sha) is kept for lineage joins and tests.
-    return m.select("mid", "mention_id", "path", "lang", "csid").join(feats, "csid")
 
 
-def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
-    """Stage 4: union of key families, then skew controls (salt → cap).
+def block_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Stage 4: blocks over distinct (csid, lang), then skew controls
+    (salt → cap). No exact-sha key family is needed — byte-identical files
+    share a csid and are clustered structurally.
 
     Both the key AND the member id are 8-byte longs: the exploded block table
-    (~17 rows/mention) is the pipeline's biggest shuffle, and the cap/salt
+    (~17 rows/content) is the pipeline's biggest shuffle, and the cap/salt
     windows sort it — 16-byte rows keep that sort allocation-light."""
-    b_exact = embedded.select(
-        F.xxhash64(F.lit("sha"), F.col("csid")).alias("block_key"),
-        F.col("mid").alias("mention_id"),
-    )
+    # a content seen under k languages blocks in all k of them (preserves the
+    # per-mention (lang, band) semantics after content-level dedup)
+    content_langs = mentions.select("csid", "lang").dropDuplicates(["csid", "lang"])
     # band ints are precomputed by the fused featurizer — blocking is just an
     # explode + one xxhash64 mixing in the lang (no array math here)
-    b_mh = embedded.select(
-        F.col("mid").alias("mention_id"),
-        F.explode("bands").alias("_band"),
-        "lang",
-    ).select(
-        F.xxhash64(F.lit("mh"), F.col("_band"), F.col("lang")).alias("block_key"),
-        "mention_id",
+    b_mh = (
+        feats.select("csid", "bands")
+        .join(content_langs, "csid")
+        .select(
+            F.col("csid").alias("mention_id"),
+            F.explode("bands").alias("_band"),
+            "lang",
+        )
+        .select(
+            F.xxhash64(F.lit("mh"), F.col("_band"), F.col("lang")).alias("block_key"),
+            "mention_id",
+        )
     )
-    blocks = b_exact.unionByName(b_mh)
+    blocks = b_mh
     if cfg.use_hyperplane_blocks:
         b_hp = blocking.hyperplane_blocks(
-            embedded,
-            "mid",
+            feats,
+            "csid",
             "emb",
             dim=cfg.emb_dim,
             n_planes=cfg.hyperplane_planes,
@@ -147,16 +160,29 @@ def block_stage(embedded: DataFrame, cfg: ERConfig) -> DataFrame:
     return blocking.cap_blocks(blocks, cfg.max_block_size)
 
 
-def pair_stage(blocks: DataFrame, embedded: DataFrame, cfg: ERConfig) -> DataFrame:
+def pair_stage(
+    blocks: DataFrame, feats: DataFrame, cfg: ERConfig, mentions: DataFrame | None = None
+) -> DataFrame:
+    """Stage 5: within-block candidate csid pairs + fused scoring. When
+    string-identifier weights are enabled, a deterministic representative
+    path (min per content) is attached from the mentions table."""
     cand = pairs.candidate_pairs(blocks)
-    records = embedded.select(
-        F.col("mid").alias("mention_id"), "emb", "path", "xs"
-    ).dropDuplicates(["mention_id"])
+    records = feats.select(F.col("csid").alias("mention_id"), "emb", "xs")
+    use_ident = bool(cfg.w_jw or cfg.w_lev)
+    if not use_ident:
+        # default fast path: one NumPy pass for cosine ⊕ jaccard ⊕ fuse
+        return pairs.score_pairs_fused_arrow(
+            cand, records, w_cos=cfg.w_cos, w_jaccard=cfg.w_jaccard
+        )
+    rep_path = (mentions or feats).groupBy("csid").agg(F.min("path").alias("path"))
+    records = records.join(
+        rep_path.select(F.col("csid").alias("mention_id"), "path"), "mention_id"
+    )
     scored = pairs.score_pairs(
         cand,
         records,
         emb_col="emb",
-        ident_col="path" if (cfg.w_jw or cfg.w_lev) else None,
+        ident_col="path",
         hash_col="xs",
         w_cos=cfg.w_cos,
         w_jw=cfg.w_jw,
@@ -203,33 +229,33 @@ def run_pipeline(
     mentions, _ = ckpt.get_or_compute(
         "ingest", spark, lambda: ingest(repos), partition_by=["lang"], fingerprint=fp
     )
-    embedded, _ = ckpt.get_or_compute(
+    feats, _ = ckpt.get_or_compute(
         "embed", spark, lambda: embed_stage(mentions, cfg), fingerprint=fp
     )
     blocks, _ = ckpt.get_or_compute(
-        "blocks", spark, lambda: block_stage(embedded, cfg), fingerprint=fp
+        "blocks", spark, lambda: block_stage(feats, mentions, cfg), fingerprint=fp
     )
     scored, _ = ckpt.get_or_compute(
-        "pairs", spark, lambda: pair_stage(blocks, embedded, cfg), fingerprint=fp
+        "pairs", spark, lambda: pair_stage(blocks, feats, cfg, mentions), fingerprint=fp
     )
     matches = pairs.match_pairs(scored, cfg.threshold)
 
     def _cluster() -> DataFrame:
-        # CC runs entirely on long mids; the sha mention_id is joined back in
-        # ONE final pass (the only string shuffle after ingest)
+        # CC runs over DISTINCT CONTENTS (csid longs); the one expansion pass
+        # maps every mention to its content's cluster and labels the cluster
+        # with its minimum mention mid (deterministic)
         cc = cluster.connected_components(matches)
-        cl = cluster.attach_singletons(cc, mentions.select(F.col("mid").alias("mention_id")))
-        id_map = mentions.select("mid", F.col("mention_id").alias("_sha_id"))
-        return (
-            cl.withColumnRenamed("mention_id", "mid")
-            .join(id_map, "mid")
-            .select(F.col("_sha_id").alias("mention_id"), "cluster_id")
-        )
+        cl = cluster.attach_singletons(
+            cc, mentions.select(F.col("csid").alias("mention_id"))
+        ).select(F.col("mention_id").alias("csid"), F.col("cluster_id").alias("_root"))
+        expanded = mentions.select("mid", "mention_id", "csid").join(cl, "csid")
+        mins = expanded.groupBy("_root").agg(F.min("mid").alias("cluster_id"))
+        return expanded.join(mins, "_root").select("mention_id", "cluster_id")
 
     clusters, _ = ckpt.get_or_compute("clusters", spark, _cluster, fingerprint=fp)
     return {
         "mentions": mentions,
-        "embedded": embedded,
+        "embedded": feats,
         "blocks": blocks,
         "scored": scored,
         "matches": matches,

@@ -66,15 +66,17 @@ def test_lineage_columns_present(pipeline_run):
 
 
 def test_embedding_deterministic_across_parallelism(spark, pipeline_run):
-    """FIXTURES.md §5: same row ⇒ identical vector at different partitionings."""
+    """FIXTURES.md §5: same content ⇒ identical vector at different
+    partitionings (features are keyed by the content hash csid)."""
     tables, out, _ = pipeline_run
-    emb1 = out["embedded"].select("mention_id", "emb")
+    emb1 = out["embedded"].select("csid", "emb")
     repos = spark.createDataFrame(tables["repos"]).repartition(13)
     from mel_spark.pipeline import ingest, embed_stage
 
     emb2 = embed_stage(ingest(repos), ERConfig()).select(
-        "mention_id", F.col("emb").alias("emb2")
+        "csid", F.col("emb").alias("emb2")
     )
-    j = emb1.join(emb2, "mention_id")
+    j = emb1.join(emb2, "csid")
+    assert j.count() == out["embedded"].count()
     diff = j.filter(F.to_json("emb") != F.to_json("emb2")).count()
     assert diff == 0
