@@ -43,19 +43,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _doc_features(docs: DataFrame, with_lang: bool = False) -> DataFrame:
-    """(doc_id[, lang], sh, sig) via staged projections: the shingle build and
+    """(doc_id[, lang], xs, sig) via staged projections: the shingle build and
     its single md5 pass each live in their own Project (CollapseProject will
     not duplicate non-cheap expressions into the 32 permutation subtrees).
-    ``with_lang`` only when the caller groups by language — keeps the scan
-    column-pruned otherwise."""
+    ``xs`` = sorted distinct md5-derived shingle ints — the jaccard
+    verification runs on these 8-byte values, never on shingle strings (the
+    md5 ints are cross-engine deterministic, so the oracle computes the same
+    sets). ``with_lang`` only when the caller groups by language — keeps the
+    scan column-pruned otherwise."""
     extra = ["lang"] if with_lang else []
     return (
         docs.select("doc_id", *extra, T.shingles("text", SHINGLE_N).alias("sh"))
-        .select("doc_id", *extra, "sh", T.shingle_int_hashes(F.col("sh")).alias("xs"))
+        .select("doc_id", *extra, T.shingle_int_hashes(F.col("sh")).alias("xs"))
         .select(
             "doc_id",
             *extra,
-            F.array_sort("sh").alias("sh"),
+            F.array_sort(F.array_distinct("xs")).alias("xs"),
             T.minhash_signature_from_ints(F.col("xs"), MH_HASHES).alias("sig"),
         )
     )
@@ -79,10 +82,10 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    sh = feats.select("doc_id", "sh")
+    sh = feats.select("doc_id", "xs")
     joined = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")), "doc_id_a")
-        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")), "doc_id_b")
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("xs").alias("sh_a")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("xs").alias("sh_b")), "doc_id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -100,7 +103,7 @@ WITH sh0 AS (
   SELECT doc_id, {O.shingles('text', SHINGLE_N)} AS sh FROM documents
 ),
 sig0 AS (
-  SELECT doc_id, list_sort(sh) AS sh,
+  SELECT doc_id, list_sort(list_distinct(xs)) AS xs,
          {O.minhash_signature_from_ints('xs', MH_HASHES)} AS sig
   FROM (SELECT doc_id, sh, {O.shingle_int_hashes('sh')} AS xs FROM sh0)
 ),
@@ -114,8 +117,8 @@ cand AS (
 ),
 scored AS (
   SELECT c.doc_id_a, c.doc_id_b,
-         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-               greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+         round(len(list_intersect(a.xs, b.xs)) * 1.0 /
+               greatest(len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs)), 1), 6) AS jaccard
   FROM cand c JOIN sig0 a ON c.doc_id_a = a.doc_id JOIN sig0 b ON c.doc_id_b = b.doc_id
 )
 SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}

@@ -43,6 +43,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # warmup: JIT/codegen + parquet footer caches, standard throughput-bench
+    # practice (the first query otherwise pays ~8-10 s of one-time JVM cost
+    # that says nothing about operator throughput)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("documents", "lineitem", "embeddings", "events", "orders", "customer", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_all = time.time()

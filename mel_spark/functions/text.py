@@ -119,7 +119,13 @@ def minhash_signature_from_ints(xs_col: Column, num_hashes: int = 16, seed: int 
 
     Hot paths should project ``shingle_int_hashes`` into its own column FIRST
     (a Project boundary stops CollapseProject from duplicating the md5 pass
-    into all ``num_hashes`` permutation subtrees)."""
+    into all ``num_hashes`` permutation subtrees).
+
+    Deliberately UNROLLED (num_hashes sibling array_min(transform(...))
+    expressions): a compact nested-HOF form over a literal parameter array
+    measured 10× SLOWER downstream — the optimizer re-inlines the single
+    transform into every band-key subtree, re-evaluating the whole signature
+    per band (measured on er_blocking_stats: 3.9 s → 38.5 s at sf0.1)."""
 
     def _perm(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
