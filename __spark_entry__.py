@@ -363,6 +363,54 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared centroid CTE (A4) — reused by emb_centroid and centroid_recall
+_CENTROID_CTE = """ex AS (
+              SELECT label AS key, t.i AS pos, embedding[t.i]::DOUBLE AS val
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ), sums AS (
+              SELECT key, pos, sum(round(val, 7)::DECIMAL(24,7)) AS s, count(*) AS cnt
+              FROM ex GROUP BY 1, 2
+            ), vecs AS (
+              SELECT key, max(cnt) AS n, list(s::DOUBLE ORDER BY pos) AS vsum
+              FROM sums GROUP BY key
+            ), final AS (
+              SELECT key AS label, n::BIGINT AS n,
+                     list_transform(vsum, x -> round(
+                       x / greatest(sqrt(list_sum(list_transform(vsum, y -> y * y))), 1e-300), 6
+                     )) AS c
+              FROM vecs
+            )"""
+
+
+def q_centroid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4→J4→A6 composition (the reference's multilingual path: combine_embs
+    builds per-entity prototype vectors, find_recall retrieves against them):
+    per-label centroid index → exact top-1 by cosine → recall@1 of the true
+    label."""
+    from mel_spark.operators.aggregates import embedding_centroid
+    from mel_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = embedding_centroid(emb, "label", "embedding", out_col="centroid")
+    top1 = brute_force_topk(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID),
+        cents,
+        k=1,
+        i_id="label",
+        i_emb="centroid",
+        exclude_self=False,
+    )
+    hits = top1.join(
+        emb.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
+    )
+    return hits.select(
+        F.round(F.avg((F.col("neighbor_id") == F.col("label")).cast("double")), 6).alias(
+            "recall_at_1"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (exact float min/max — no fp-order ambiguity)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -700,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_at_k": q_knn_recall_at_k,
         "emb_label_stats": q_emb_label_stats,
         "emb_centroid": q_emb_centroid,
+        "centroid_recall": q_centroid_recall,
         "qid_distribution": q_qid_distribution,
         "lang_argmax": q_lang_argmax,
         "hard_negatives": q_hard_negatives,
@@ -850,25 +899,26 @@ def oracle_sql() -> dict[str, str]:
                         JOIN embeddings eb ON c.doc_id_b = eb.vec_id
             WHERE {O.cosine('ea.embedding', 'eb.embedding')} >= {EMB_LSH_T}
         """,
-        "emb_centroid": """
-            WITH ex AS (
-              SELECT label AS key, t.i AS pos, embedding[t.i]::DOUBLE AS val
-              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-            ), sums AS (
-              SELECT key, pos, sum(round(val, 7)::DECIMAL(24,7)) AS s, count(*) AS cnt
-              FROM ex GROUP BY 1, 2
-            ), vecs AS (
-              SELECT key, max(cnt) AS n, list(s::DOUBLE ORDER BY pos) AS vsum
-              FROM sums GROUP BY key
-            ), final AS (
-              SELECT key AS label, n::BIGINT AS n,
-                     list_transform(vsum, x -> round(
-                       x / greatest(sqrt(list_sum(list_transform(vsum, y -> y * y))), 1e-300), 6
-                     )) AS c
-              FROM vecs
-            )
+        "emb_centroid": f"""
+            WITH {_CENTROID_CTE}
             SELECT label, n, t.i::INT AS pos, c[t.i] AS c_val
             FROM final, unnest(range(1, len(c) + 1)) AS t(i)
+        """,
+        "centroid_recall": f"""
+            WITH {_CENTROID_CTE},
+            q AS (
+              SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {KNN_MAX_QID}
+            ), scored AS (
+              SELECT q.vec_id AS query_id, q.label AS q_label, f.label AS c_label,
+                     {O.cosine('q.embedding', 'f.c')} AS cos
+              FROM q, final f
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, c_label ASC) AS rank
+              FROM scored
+            )
+            SELECT round(avg(CASE WHEN c_label = q_label THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1,
+                   count(*)::BIGINT AS n_queries
+            FROM ranked WHERE rank = 1
         """,
         "qid_distribution": """
             SELECT label, count(*) AS cnt,

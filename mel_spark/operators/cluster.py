@@ -82,27 +82,67 @@ def connected_components(
     id_a: str = "mention_id_a",
     id_b: str = "mention_id_b",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster the undirected match graph; returns (mention_id, cluster_id)
     where cluster_id = min member id (stable, deterministic).
 
     Nodes appearing only as singletons must be unioned by the caller
     (cluster_id = own id) — this operator only sees edges.
-    """
+
+    ``checkpoint_dir`` enables MID-CLUSTERING resume (north_rule): every
+    star round durably writes its edge set + a marker recording the round
+    number and fingerprint; a restarted job continues from the last
+    completed round instead of iteration 0. Without it, rounds use
+    localCheckpoint (lineage break only — cheaper, not durable)."""
+    import json as _json
+    import os as _os
+
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    start_iter = 0
     prev_fp = None
     converged = False
-    for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        fp = _fingerprint(edges)
-        if fp == prev_fp:
-            converged = True
+    if checkpoint_dir:
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        state_path = _os.path.join(checkpoint_dir, "_CC_STATE.json")
+        if _os.path.exists(state_path):
+            with open(state_path) as f:
+                state = _json.load(f)
+            edges = spark.read.parquet(
+                _os.path.join(checkpoint_dir, f"iter{state['iteration']}")
+            )
+            start_iter = state["iteration"] + 1
+            prev_fp = tuple(state["fingerprint"])
+            converged = bool(state.get("converged"))
+            logger.info(
+                "connected_components: resuming from round %d", state["iteration"]
+            )
+    if start_iter == 0:
+        edges = edges.localCheckpoint(eager=True)
+    for it in range(start_iter, max_iterations):
+        if converged:
             break
+        edges = _small_star(_large_star(edges))
+        if checkpoint_dir:
+            path = _os.path.join(checkpoint_dir, f"iter{it}")
+            edges.write.mode("overwrite").parquet(path)
+            edges = spark.read.parquet(path)
+        else:
+            edges = edges.localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        converged = fp == prev_fp
+        if checkpoint_dir:
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(
+                    {"iteration": it, "fingerprint": list(fp), "converged": converged}, f
+                )
+            _os.replace(tmp, state_path)  # atomic: round is resumable
         prev_fp = fp
     if not converged:
         # non-converged output may violate the "cluster_id = min member,

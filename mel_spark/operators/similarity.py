@@ -44,16 +44,18 @@ def brute_force_topk(
     q_emb: str = "embedding",
     i_id: str = "vec_id",
     i_emb: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, cos, rank). Ties broken
-    by neighbor id (deterministic). Self-matches excluded."""
+    by neighbor id (deterministic). ``exclude_self`` drops id-equal matches
+    (turn it OFF when query and index id spaces differ, e.g. retrieving
+    against an entity-centroid index)."""
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb"))
     i = index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb"))
-    scored = (
-        q.crossJoin(i)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
-    )
+    scored = q.crossJoin(i)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -243,8 +243,14 @@ def run_pipeline(
     def _cluster() -> DataFrame:
         # CC runs over DISTINCT CONTENTS (csid longs); the one expansion pass
         # maps every mention to its content's cluster and labels the cluster
-        # with its minimum mention mid (deterministic)
-        cc = cluster.connected_components(matches)
+        # with its minimum mention mid (deterministic). Star rounds checkpoint
+        # durably under the job's checkpoint dir → a crashed run resumes
+        # MID-CLUSTERING from the last completed round (north_rule)
+        import os as _os
+
+        cc = cluster.connected_components(
+            matches, checkpoint_dir=_os.path.join(checkpoint_dir, "cc_rounds")
+        )
         cl = cluster.attach_singletons(
             cc, mentions.select(F.col("csid").alias("mention_id"))
         ).select(F.col("mention_id").alias("csid"), F.col("cluster_id").alias("_root"))

@@ -48,3 +48,16 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup: drop events whose event_id was already seen
+    within the watermark horizon — the streaming twin of the batch
+    dedup_keep_first / OnlyOnceDataset contract (state is bounded by the
+    watermark, so this runs forever on an unbounded stream; at-least-once
+    sources become effectively-once downstream)."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

@@ -66,6 +66,49 @@ def test_planted_hub_is_safe(spark):
     assert cc.count() == n + 51
 
 
+def test_mid_clustering_resume(spark, tmp_path):
+    """north_rule: the pipeline resumes MID-clustering. Run CC with a durable
+    round checkpoint, simulate a crash by re-invoking with the same dir —
+    the completed rounds must be read back, not recomputed, and the result
+    must equal the non-checkpointed run."""
+    import json
+    import os
+
+    n = 60
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    df = spark.createDataFrame(edges, ["mention_id_a", "mention_id_b"])
+    cc_dir = str(tmp_path / "cc")
+    base = {r["mention_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    first = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=cc_dir).collect()
+    }
+    assert first == base
+    state = json.load(open(os.path.join(cc_dir, "_CC_STATE.json")))
+    assert state["converged"] and state["iteration"] >= 1
+    # "crash" after convergence: a rerun must resume, not restart — it reads
+    # the final round back and performs ZERO additional star rounds
+    n_rounds_before = len([d for d in os.listdir(cc_dir) if d.startswith("iter")])
+    second = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=cc_dir).collect()
+    }
+    n_rounds_after = len([d for d in os.listdir(cc_dir) if d.startswith("iter")])
+    assert second == base and n_rounds_after == n_rounds_before
+    # mid-run crash: drop the converged flag and final round → resumes from
+    # the remaining round and still converges to the same partition
+    json.dump(
+        {"iteration": state["iteration"] - 1,
+         "fingerprint": state["fingerprint"], "converged": False},
+        open(os.path.join(cc_dir, "_CC_STATE.json"), "w"),
+    )
+    third = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=cc_dir).collect()
+    }
+    assert third == base
+
+
 def test_matches_gold_partition(spark, tiny_tables):
     """Edges built from the gold assignment must recover exactly the gold
     partition (modulo label choice)."""

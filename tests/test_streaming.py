@@ -52,3 +52,28 @@ def test_session_window_counts(spark, events_batch, tmp_path):
         for r in events_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_user == batch_counts
+
+
+def test_streaming_dedup_drops_watermark_duplicates(spark, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark twin of the batch exact-dedup: feeding
+    each event twice yields each event_id exactly once downstream."""
+    from mel_spark.streaming.events import dedup_stream
+
+    doubled = events_batch.union(events_batch)
+    src = f"{tmp_path}/dsrc"
+    doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/dckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_sink")
+    n_ids = events_batch.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
