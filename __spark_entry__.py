@@ -411,6 +411,20 @@ def q_centroid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN (ScaNN tree-partitioning analogue): seeded Lloyd
+    coarse quantizer, nprobe cell probing, exact re-score. Iterative k-means
+    is not SQL-expressible — the driver records the rows-only check; exact
+    agreement on surfaced candidates + recall bounds are pytest-verified
+    (tests/test_similarity.py)."""
+    from mel_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, n_cells=16, nprobe=8
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (exact float min/max — no fp-order ambiguity)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -743,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top5": q_knn_top5,
         "knn_broadcast": q_knn_broadcast,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "knn_recall_at_k": q_knn_recall_at_k,

@@ -16,6 +16,14 @@ Three regimes, mirroring the reference's searcher hierarchy
                           re-score + ranked window; the ScaNN analogue
                           (leaves=buckets, re-order=exact re-score;
                           src/models/searchers/scann_searcher.py:21-49)
+ ivf_topk               — inverted-file ANN: seeded Lloyd k-means coarse
+                          quantizer (the direct analogue of ScaNN's
+                          tree partitioning, leaves ≈ 5√N per
+                          src/data_processors/index/index.py:122-146), index
+                          vectors assigned to their nearest centroid cell,
+                          queries probe the nprobe nearest cells, exact
+                          re-score inside. Iterative (k-means) ⇒ not
+                          SQL-expressible; verified by recall tests instead.
 """
 
 from __future__ import annotations
@@ -141,6 +149,160 @@ def broadcast_knn(
             yield pd.DataFrame({"query_id": qids, "neighbor_ids": rows})
 
     return queries.select(q_id, q_emb).mapInPandas(_search, schema)
+
+
+def train_ivf_centroids(
+    index: DataFrame,
+    n_cells: int,
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+    iterations: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded Lloyd k-means over the index vectors → (n_cells, d) float32,
+    rows L2-normalized (cells partition by cosine, matching the scorer).
+
+    Deterministic: initial centroids are the vectors with the ``n_cells``
+    smallest xxhash64(id, seed) values (a seeded sample independent of
+    partitioning); each Lloyd round is one broadcast-assign + groupBy-mean —
+    executor-parallel, O(N·cells·d) per round, no driver-side data beyond the
+    (cells × d) matrix itself. ``n_cells ≈ 5√N`` is the reference's ScaNN
+    leaf heuristic."""
+    sdf = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
+    init = (
+        sdf.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r["_emb"] for r in init], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents /= norms
+    spark = index.sparkSession
+    for _ in range(iterations):
+        assigned = _assign_cells(sdf, cents, spark).groupBy("_cell").agg(
+            *[F.sum(F.element_at(F.col("_emb"), d + 1).cast("double")).alias(f"s{d}")
+              for d in range(cents.shape[1])],
+        )
+        rows = assigned.collect()
+        new = cents.copy()
+        for r in rows:
+            v = np.array([r[f"s{d}"] for d in range(cents.shape[1])], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[r["_cell"]] = v / n
+        cents = new
+    return cents.astype(np.float32)
+
+
+def _assign_cells(sdf: DataFrame, cents: np.ndarray, spark) -> DataFrame:
+    """(_id, _emb, _cell): nearest centroid by dot product, via one NumPy
+    matmul per Arrow batch against the broadcast centroid matrix."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    b = spark.sparkContext.broadcast(cents)
+    schema = StructType(
+        sdf.schema.fields + [StructField("_cell", IntegerType())]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["_emb"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ C.T.astype(np.float64)
+            # deterministic tie-break: lowest cell id wins (argmax is first-max)
+            yield pdf.assign(_cell=np.argmax(sims, axis=1).astype(np.int32))
+
+    return sdf.mapInPandas(_assign, schema)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    q_id: str = "vec_id",
+    q_emb: str = "embedding",
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+    iterations: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means cells → queries probe their
+    ``nprobe`` nearest cells → candidate equi-join on cell id → exact cosine
+    re-score → ranked window. Output matches brute force on every candidate
+    it surfaces (same cos/rank semantics); recall < 1 by construction.
+
+    Scale shape: the only broadcast is the (n_cells × d) centroid matrix;
+    candidates come from a cell-id equi-join, never all-pairs."""
+    cents = train_ivf_centroids(index, n_cells, i_id, i_emb, iterations, seed)
+    spark = index.sparkSession
+    i_cells = _assign_cells(
+        index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb")), cents, spark
+    ).select(F.col("_id").alias("neighbor_id"), F.col("_cell").alias("cell"))
+
+    # queries probe nprobe cells: emit (query_id, cell) per probed cell
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    b = spark.sparkContext.broadcast(cents)
+    probe_schema = StructType(
+        [
+            queries.select(F.col(q_id).alias("query_id")).schema.fields[0],
+            StructField("cells", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b.value.astype(np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["_emb"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ C.T
+            npb = min(nprobe, C.shape[0])
+            part = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "cells": [np.sort(row).astype(np.int32) for row in part],
+                }
+            )
+
+    q_cells = (
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("_emb"))
+        .mapInPandas(_probe, probe_schema)
+        .select("query_id", F.explode("cells").alias("cell"))
+    )
+    cand = (
+        q_cells.join(i_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb")),
+            "query_id",
+        )
+        .join(
+            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb")),
+            "neighbor_id",
+        )
+        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 def lsh_topk(

@@ -55,3 +55,31 @@ def test_brute_force_excludes_self_and_is_ranked(emb_df):
     for r in out:
         assert r["query_id"] != r["neighbor_id"]
         assert 1 <= r["rank"] <= 3
+
+
+def test_ivf_topk_recall_and_consistency(spark, emb_df):
+    """IVF results must agree with the exact scorer on every emitted
+    (query, neighbor) and reach decent rank-1 recall with generous nprobe."""
+    from mel_spark.operators.similarity import ivf_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 30)
+    bf = brute_force_topk(queries, emb_df, k=1).select(
+        "query_id", F.col("neighbor_id").alias("bf_top1"), F.col("cos").alias("bf_cos")
+    )
+    ivf = ivf_topk(queries, emb_df, k=1, n_cells=8, nprobe=6)
+    joined = bf.join(ivf.select("query_id", F.col("neighbor_id").alias("ivf_top1"), "cos"), "query_id")
+    n = joined.count()
+    assert n > 0
+    hits = joined.filter(F.col("bf_top1") == F.col("ivf_top1"))
+    # where IVF found the true top-1, the cosine must be identical
+    assert hits.filter(F.col("cos") != F.col("bf_cos")).count() == 0
+    assert hits.count() / n >= 0.5, f"rank-1 IVF recall {hits.count()}/{n}"
+
+
+def test_ivf_centroids_deterministic(spark, emb_df):
+    from mel_spark.operators.similarity import train_ivf_centroids
+    import numpy as np
+
+    c1 = train_ivf_centroids(emb_df, 8, iterations=2)
+    c2 = train_ivf_centroids(emb_df.repartition(7), 8, iterations=2)
+    assert np.array_equal(c1, c2)
