@@ -682,6 +682,18 @@ def q_ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ta_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (LLM-pipeline op: letter runs / digit
+    runs / punctuation marks), alongside the whitespace counts."""
+    docs = _t(spark, sf_dir, "documents")
+    bp = T.bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(bp).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bp)).alias("n_distinct_bpe"),
+    )
+
+
 def q_ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID; argmax with fixed precedence order."""
     docs = _t(spark, sf_dir, "documents")
@@ -785,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_bucket_counts": q_hash_bucket_counts,
         "ta_quality": q_ta_quality,
         "ta_token_stats": q_ta_token_stats,
+        "ta_bpe_tokens": q_ta_bpe_tokens,
         "ta_langid": q_ta_langid,
         "ta_stopword_ratio": q_ta_stopword_ratio,
         "ev_tumbling_counts": q_ev_tumbling_counts,
@@ -1130,6 +1143,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {O.num_tokens('text')} AS n_tokens,
                    len({sh}) AS n_shingles,
                    len(list_distinct({O.tokens('text')})) AS n_distinct_tokens
+            FROM documents
+        """,
+        "ta_bpe_tokens": f"""
+            SELECT doc_id, len({O.bpe_ish_tokens('text')}) AS n_bpe_tokens,
+                   len(list_distinct({O.bpe_ish_tokens('text')})) AS n_distinct_bpe
             FROM documents
         """,
         "ta_langid": f"""

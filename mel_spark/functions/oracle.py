@@ -20,6 +20,12 @@ def num_tokens(text: str) -> str:
     return f"len({tokens(text)})"
 
 
+def bpe_ish_tokens(text: str) -> str:
+    from mel_spark.functions.text import BPE_ISH_PATTERN
+
+    return f"regexp_extract_all({text}, '{BPE_ISH_PATTERN}')"
+
+
 def shingles(text: str, n: int = 3) -> str:
     toks = tokens(text)
     m = f"greatest(len({toks}) - {n - 1}, 1)"

@@ -25,6 +25,19 @@ def num_tokens(text: Column | str) -> Column:
     return F.size(tokens(text)).alias("num_tokens")
 
 
+# BPE-ish pre-tokenizer pattern (simplified GPT-2 split): letter runs, digit
+# runs, and single non-alphanumeric marks each become one token
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization (the BPE-style split an LLM-data pipeline
+    counts tokens with, vs the whitespace `tokens`). Pure Catalyst; DuckDB
+    twin uses the identical pattern (oracle.bpe_ish_tokens)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles.
 

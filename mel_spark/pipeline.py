@@ -43,6 +43,15 @@ class ERConfig:
     minhash_hashes: int = 32
     minhash_bands: int = 16
     emb_dim: int = 64
+    # embedding-signature blocking is implemented (blocking.hyperplane_blocks,
+    # tested) but OFF by default as a measured cost/recall judgment: random-
+    # hyperplane sign bands need ~20 bits/band for usable bucket sizes at
+    # millions of docs, and at 20 bits a cosine-0.9 pair collides in one band
+    # with p≈0.04 — dozens of bands would be needed for real recall, paying a
+    # multiple of the whole blocking cost. Token-minhash bands already deliver
+    # blocking recall ≈0.999 on content near-dups (F1 0.99999 at 3M files);
+    # enable this family when hunting PARAPHRASE-level duplicates that share
+    # embedding space but not shingles.
     use_hyperplane_blocks: bool = False
     hyperplane_planes: int = 16
     hyperplane_bands: int = 4
