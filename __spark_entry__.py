@@ -64,24 +64,15 @@ def _doc_features(docs: DataFrame, with_lang: bool = False) -> DataFrame:
     )
 
 
-def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH band-collision candidates, exact-verified at JACCARD_T (dedup op:
-    minhash→verify; ref alias-table blocking A2 src/baselines/olpeat/find_recall.py:76-91).
-
-    The per-doc feature table is persisted: both self-join sides and the
-    verification join reuse it instead of recomputing the hash pass."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = _doc_features(docs).persist()
-    blocks = feats.select(
+def _band_blocks(feats: DataFrame) -> DataFrame:
+    return feats.select(
         "doc_id", F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key")
     )
-    cand = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), "band_key")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+
+
+def _verify_pairs(cand: DataFrame, feats: DataFrame) -> DataFrame:
+    """Exact jaccard verification of candidate (doc_id_a, doc_id_b) pairs over
+    the pre-materialized 8-byte shingle-int sets."""
     sh = feats.select("doc_id", "xs")
     joined = (
         cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("xs").alias("sh_a")), "doc_id_a")
@@ -94,6 +85,25 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-collision candidates, exact-verified at JACCARD_T (dedup op:
+    minhash→verify; ref alias-table blocking A2 src/baselines/olpeat/find_recall.py:76-91).
+
+    The per-doc feature table is persisted: both self-join sides and the
+    verification join reuse it instead of recomputing the hash pass."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = _doc_features(docs).persist()
+    blocks = _band_blocks(feats)
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    return _verify_pairs(cand, feats)
 
 
 # staged CTEs: the md5 pass (xs) is computed once, not once per permutation —
@@ -155,6 +165,74 @@ cc(n, lbl) AS (
 )
 SELECT n AS doc_id, min(lbl)::BIGINT AS cluster_id FROM cc GROUP BY n
 """
+
+
+def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER (operators/incremental.py): run the full base pipeline
+    over the ~70% of documents with pmod(doc_id,10) < 7, then FOLD IN the
+    remaining ~30% — delta blocking (new x new and new x old band-key probe),
+    verification, and root-collapsed connected components over only the new
+    edges. The oracle is the FULL-RUN recursive-CTE SQL (er_clusters over all
+    docs): hash-matching it proves the incremental path reproduces a
+    from-scratch recompute exactly, labels included (cluster_id = min member;
+    old roots are minima of their members, so min over {roots, new ids} = min
+    over the merged component)."""
+    from mel_spark.operators.cluster import attach_singletons, connected_components
+    from mel_spark.operators.incremental import merge_components
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) >= 7
+    feats = _doc_features(docs).persist()
+    base_feats = feats.filter(~is_new)
+
+    # base run: pairs among old docs only → transitive clusters → roots
+    base_blocks = _band_blocks(base_feats)
+    base_cand = (
+        base_blocks.alias("x")
+        .join(base_blocks.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    base_pairs = _verify_pairs(base_cand, base_feats)
+    base_cc = connected_components(base_pairs, "doc_id_a", "doc_id_b")
+    roots_old = attach_singletons(
+        base_cc, base_feats.select(F.col("doc_id").alias("mention_id"))
+    ).select(F.col("mention_id").alias("csid"), F.col("cluster_id").alias("root"))
+
+    # delta: every candidate with >= 1 new endpoint (new x new AND new x old)
+    new_blocks = _band_blocks(feats.filter(is_new))
+    all_blocks = _band_blocks(feats)
+    delta_cand = (
+        new_blocks.select("band_key", F.col("doc_id").alias("_n"))
+        .join(all_blocks.select("band_key", F.col("doc_id").alias("_o")), "band_key")
+        .filter(F.col("_n") != F.col("_o"))
+        .select(
+            F.least("_n", "_o").alias("doc_id_a"),
+            F.greatest("_n", "_o").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    delta_pairs = _verify_pairs(delta_cand, feats)
+
+    remap = merge_components(
+        delta_pairs.select(
+            F.col("doc_id_a").alias("mention_id_a"),
+            F.col("doc_id_b").alias("mention_id_b"),
+        ),
+        roots_old,
+    ).select(F.col("mention_id").alias("_node"), F.col("cluster_id").alias("_new_root"))
+
+    old_assign = roots_old.join(
+        remap, roots_old["root"] == remap["_node"], "left"
+    ).select(F.col("csid").alias("doc_id"), F.coalesce("_new_root", "root").alias("cluster_id"))
+    new_ids = feats.filter(is_new).select(F.col("doc_id"))
+    new_assign = new_ids.join(remap, new_ids["doc_id"] == remap["_node"], "left").select(
+        "doc_id", F.coalesce("_new_root", F.col("doc_id")).alias("cluster_id")
+    )
+    return old_assign.unionByName(new_assign).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
 
 
 def q_er_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_minhash_pairs": q_er_minhash_pairs,
         "er_clusters": q_er_clusters,
+        "er_incremental": q_er_incremental,
         "er_exact_dedup": q_er_exact_dedup,
         "er_fingerprint_groups": q_er_fingerprint_groups,
         "er_simhash_groups": q_er_simhash_groups,
@@ -817,6 +896,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "er_minhash_pairs": _MINHASH_PAIRS_SQL_BODY,
         "er_clusters": _ER_CLUSTERS_SQL,
+        # incremental fold-in must reproduce the from-scratch answer exactly —
+        # the oracle IS the full-run recursive closure
+        "er_incremental": _ER_CLUSTERS_SQL,
         "er_exact_dedup": f"""
             SELECT {O.content_sha('text')} AS content_sha, count(*) AS group_size,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

@@ -10,6 +10,12 @@ Usage (north_rule packaging: spark-submit --py-files mel_spark.zip):
     spark-submit --py-files mel_spark.zip jobs/er_job.py \
         --synthesize 2000 --checkpoint /tmp/er_ckpt --output /tmp/er_out
 
+    # incremental: fold a new batch into a finished run (cost proportional
+    # to the batch; output labels identical to a from-scratch recompute):
+    spark-submit --py-files mel_spark.zip jobs/er_job.py \
+        --update-base /tmp/er_ckpt --input /data/new_batch_dir \
+        --checkpoint /tmp/er_ckpt_v2 --output /tmp/er_out_v2
+
 Prints one JSON line of run metrics (rows, blocks, candidate pairs, matches,
 clusters, elapsed sec, pairs/sec; plus pairwise F1 when gold clusters exist).
 """
@@ -30,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--threshold", type=float, default=None)
+    p.add_argument(
+        "--update-base",
+        help="checkpoint dir of a COMPLETED run: incrementally fold the "
+        "--input/--synthesize batch into it instead of running from scratch",
+    )
     args = p.parse_args(argv)
 
     from mel_spark.session import get_spark
@@ -65,6 +76,36 @@ def main(argv: list[str] | None = None) -> int:
         p.error("one of --input / --synthesize is required")
 
     cfg = ERConfig() if args.threshold is None else ERConfig(threshold=args.threshold)
+    if args.update_base:
+        from mel_spark.operators.incremental import incremental_update
+
+        inc = incremental_update(
+            spark, args.update_base, repos, cfg, checkpoint_dir=args.checkpoint
+        )
+        inc["clusters"].select("mention_id", "cluster_id").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/clusters.parquet")
+        metrics = {
+            "mode": "incremental",
+            "new_mentions": inc["mentions_new"].count(),
+            "total_mentions": inc["mentions"].count(),
+            "new_matches": inc["matches_new"].count(),
+            "clusters": inc["clusters"].select("cluster_id").distinct().count(),
+            "elapsed_sec": round(time.time() - t0, 2),
+        }
+        if gold is not None:
+            from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf
+
+            m = pairwise_prf(
+                pairs_from_clusters(inc["clusters"], "mention_id", "cluster_id"),
+                pairs_from_clusters(gold, "mention_id", "entity_id"),
+            )
+            metrics.update(
+                {k: round(v, 6) if isinstance(v, float) else v for k, v in m.items()}
+            )
+        print(json.dumps(metrics))
+        spark.stop()
+        return 0
     input_token = (
         f"synthesize:{args.synthesize}:{args.seed}" if args.synthesize else str(args.input)
     )

@@ -1,0 +1,121 @@
+"""Incremental ER: fold a new batch into a finished run (operators/incremental).
+
+The hard contract: incremental_update(base=A, new=B) emits byte-identical
+(mention_id, cluster_id) assignments to run_pipeline(A ∪ B) — same components,
+same deterministic min-mid labels — while recomputing only batch-proportional
+stages. Plus the two structural edge cases full-recompute pipelines get for
+free and incremental ones classically get wrong: a new node merging two
+existing clusters, and a known content surfacing under a new language opening
+blocks the base run never formed.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mel_spark.datagen import GenConfig, generate_repos
+from mel_spark.operators.incremental import (
+    content_roots,
+    incremental_update,
+    merge_components,
+)
+from mel_spark.pipeline import ERConfig, run_pipeline
+
+CLUSTER_COLS = ["mention_id", "cluster_id"]
+
+
+def _clusters(df):
+    return df.select(*CLUSTER_COLS)
+
+
+def _assert_same_clusters(got, want):
+    got, want = _clusters(got), _clusters(want)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_incremental_equals_full_run(spark, tmp_path):
+    tables = generate_repos(GenConfig(n_files=500, seed=7))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10)) < 7
+    batch_a, batch_b = repos.filter(in_a), repos.filter(~in_a)
+    assert batch_b.count() > 0
+
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    run_pipeline(spark, batch_a, str(tmp_path / "base"))
+    inc = incremental_update(
+        spark, str(tmp_path / "base"), batch_b, checkpoint_dir=str(tmp_path / "inc")
+    )
+    _assert_same_clusters(inc["clusters"], full["clusters"])
+
+
+def test_new_node_merges_two_existing_clusters(spark):
+    # new csid 100 matches members of two different existing clusters → all
+    # three nodes must land in one component labeled by the min touched root
+    edges = spark.createDataFrame(
+        [(100, 1), (100, 2)], ["mention_id_a", "mention_id_b"]
+    )
+    roots = spark.createDataFrame([(1, 10), (2, 20)], ["csid", "root"])
+    remap = {
+        r["mention_id"]: r["cluster_id"]
+        for r in merge_components(edges, roots).collect()
+    }
+    assert remap == {100: 10, 20: 10, 10: 10}
+
+
+def test_known_content_in_new_language_opens_block(spark, tmp_path):
+    # X and Y are near-duplicates but live in different languages in the base
+    # corpus, so the base run never pairs them. The new batch re-sends content
+    # X under Y's language — a full recompute pairs (X, Y) in that language's
+    # band blocks, and the incremental path must find the same edge even
+    # though X's features already exist (csid adoption, delta (csid, lang)).
+    toks = ["def", "load", "config", "from", "path", "return", "parsed",
+            "value", "with", "open", "file", "as", "handle", "read", "lines",
+            "strip", "split", "key", "append", "result"] * 3
+    x = " ".join(toks)
+    y = " ".join(toks[:-1] + ["changed"])
+    rows = [
+        ("repoA", "a.py", "c1", "py", x),
+        ("repoB", "b.js", "c1", "js", y),
+    ]
+    new_rows = [("repoC", "c.js", "c1", "js", x)]
+    cols = ["repo", "path", "commit", "lang", "content"]
+    base_df = spark.createDataFrame(rows, cols)
+    new_df = spark.createDataFrame(new_rows, cols)
+
+    base = run_pipeline(spark, base_df, str(tmp_path / "base"))
+    # precondition: base run keeps X and Y apart (different langs)
+    assert (
+        base["clusters"].select("cluster_id").distinct().count() == 2
+    ), "test premise broken: base run already merged X and Y"
+
+    full = run_pipeline(
+        spark, base_df.unionByName(new_df), str(tmp_path / "full")
+    )
+    inc = incremental_update(spark, str(tmp_path / "base"), new_df)
+    _assert_same_clusters(inc["clusters"], full["clusters"])
+    # and the merge really happened: one cluster holding all three mentions
+    assert _clusters(inc["clusters"]).select("cluster_id").distinct().count() == 1
+
+
+def test_resent_mentions_and_duplicate_contents_are_noops(spark, tmp_path):
+    tables = generate_repos(GenConfig(n_files=200, seed=11))
+    repos = spark.createDataFrame(tables["repos"])
+    full = run_pipeline(spark, repos, str(tmp_path / "base"))
+    # re-send a slice of the SAME rows: assignments must be unchanged and no
+    # mention may be duplicated
+    resend = repos.limit(40)
+    inc = incremental_update(spark, str(tmp_path / "base"), resend)
+    _assert_same_clusters(inc["clusters"], full["clusters"])
+    n = inc["clusters"].count()
+    assert inc["clusters"].select("mention_id").distinct().count() == n
+
+
+def test_content_roots_cover_every_base_content(spark, tmp_path):
+    tables = generate_repos(GenConfig(n_files=200, seed=13))
+    repos = spark.createDataFrame(tables["repos"])
+    out = run_pipeline(spark, repos, str(tmp_path / "base"))
+    roots = content_roots(out["mentions"], out["clusters"])
+    n_csid = out["mentions"].select("csid").distinct().count()
+    assert roots.count() == n_csid
+    assert roots.select("csid").distinct().count() == n_csid
