@@ -793,6 +793,51 @@ def q_ta_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-rule thresholds (word count bounds, mean-word-length band,
+# repetition floor); shared between the Spark query and the SQL oracle
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_DISTINCT_FLOOR = 0.2
+
+
+def q_ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021 §A1.1 repetition /
+    length heuristics): per doc word count, mean word length, distinct-token
+    ratio, and the pass/fail verdict an LLM-data pipeline gates ingestion on."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(T.tokens("text"))
+    mwl = T.mean_word_len("text")
+    dtr = T.distinct_token_ratio("text")
+    passes = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MWL_LO, GOPHER_MWL_HI)
+        & (dtr >= GOPHER_DISTINCT_FLOOR)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        dtr.alias("distinct_ratio"),
+        passes.cast("int").alias("passes"),
+    )
+
+
+SEG_TOKENS = 8
+SEG_DUP_K = 2
+
+
+def q_ld_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-passage removal (operators/dedup.segment_dedup):
+    fixed 8-token segments, corpus-wide exact counts, segments occurring >= 2
+    times dropped; clean_sha identifies the cleaned text."""
+    from mel_spark.operators.dedup import segment_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", SEG_TOKENS, SEG_DUP_K)
+
+
 # ---------------------------------------------------------------------------
 # Events family (windowed/sessionized batch analytics)
 # ---------------------------------------------------------------------------
@@ -879,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_bpe_tokens": q_ta_bpe_tokens,
         "ta_langid": q_ta_langid,
         "ta_stopword_ratio": q_ta_stopword_ratio,
+        "ta_gopher_rules": q_ta_gopher_rules,
+        "ld_segment_dedup": q_ld_segment_dedup,
         "ev_tumbling_counts": q_ev_tumbling_counts,
         "ev_sessionize": q_ev_sessionize,
     }
@@ -1241,6 +1288,34 @@ def oracle_sql() -> dict[str, str]:
         "ta_stopword_ratio": f"""
             SELECT doc_id, round({O.stopword_ratio('text', T.LANG_MARKERS['en'])}, 6) AS stop_ratio
             FROM documents
+        """,
+        "ta_gopher_rules": f"""
+            SELECT doc_id,
+                   len({O.tokens('text')}) AS n_words,
+                   {O.mean_word_len('text')} AS mean_word_len,
+                   {O.distinct_token_ratio('text')} AS distinct_ratio,
+                   (CASE WHEN len({O.tokens('text')}) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                          AND {O.mean_word_len('text')} BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}
+                          AND {O.distinct_token_ratio('text')} >= {GOPHER_DISTINCT_FLOOR}
+                     THEN 1 ELSE 0 END) AS passes
+            FROM documents
+        """,
+        "ld_segment_dedup": f"""
+            WITH lists AS (
+              SELECT doc_id, {O.doc_segments('text', SEG_TOKENS)} AS segs FROM documents
+            ),
+            segs AS (
+              SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS pos
+              FROM lists
+            ),
+            cnt AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
+            SELECT s.doc_id,
+                   count(*) AS n_segments,
+                   sum(CASE WHEN c.c >= {SEG_DUP_K} THEN 1 ELSE 0 END) AS n_dup_segments,
+                   md5(coalesce(string_agg(CASE WHEN c.c < {SEG_DUP_K} THEN s.seg END,
+                                           ' ' ORDER BY s.pos), '')) AS clean_sha
+            FROM segs s JOIN cnt c USING (seg)
+            GROUP BY s.doc_id
         """,
         "ev_tumbling_counts": """
             SELECT (floor(epoch(ts))::BIGINT // 3600) AS hour_bucket, event_type,

@@ -193,3 +193,25 @@ def cosine(a: str, b: str) -> str:
     na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
     nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
     return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def doc_segments(text: str, seg_tokens: int = 8) -> str:
+    toks = tokens(text)
+    n_segs = f"greatest(cast(ceil(len({toks}) / {float(seg_tokens)}) AS INT), 1)"
+    return (
+        f"list_transform(range(0, {n_segs}), "
+        f"i -> array_to_string(({toks})[(i*{seg_tokens}+1):(i*{seg_tokens}+{seg_tokens})], ' '))"
+    )
+
+
+def mean_word_len(text: str) -> str:
+    toks = tokens(text)
+    return (
+        f"round(list_sum(list_transform({toks}, w -> length(w))) * 1.0 "
+        f"/ greatest(len({toks}), 1), 6)"
+    )
+
+
+def distinct_token_ratio(text: str) -> str:
+    toks = tokens(text)
+    return f"round(len(list_distinct({toks})) * 1.0 / greatest(len({toks}), 1), 6)"

@@ -359,3 +359,35 @@ def langid_scores(text: Column | str) -> list[Column]:
         F.size(F.filter(toks, _in_set(ws))).alias(f"score_{lang}")
         for lang, ws in LANG_MARKERS.items()
     ]
+
+
+def doc_segments(text: Column | str, seg_tokens: int = 8) -> Column:
+    """Non-overlapping fixed-width token segments (the 'lines' of a continuous
+    word stream): segment i = tokens[i*w : (i+1)*w] joined by space. The unit
+    of CCNet-style duplicated-passage removal for corpora without newline
+    structure; for newline-structured text use F.split(text, '\\n') instead.
+    DuckDB twin: oracle.doc_segments."""
+    toks = tokens(text)
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    )
+
+
+def mean_word_len(text: Column | str) -> Column:
+    """Mean token length in characters (Gopher rule C4/quality signal)."""
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """|distinct tokens| / |tokens| — the repetition signal in Gopher's
+    repetition-removal rules (a heavily repeated doc scores low)."""
+    toks = tokens(text)
+    return F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+    )

@@ -187,3 +187,56 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("doc_id_a", "doc_id_b", "cos")
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    dup_k: int = 2,
+    line_mode: bool = False,
+) -> DataFrame:
+    """CCNet-style duplicated-passage removal: segment every document, count
+    each exact segment corpus-wide, and drop segments occurring >= ``dup_k``
+    times (boilerplate, license headers, vendored passages). Returns per doc
+    (id, n_segments, n_dup_segments, clean_sha) where clean_sha = md5 of the
+    kept segments re-joined in original order — the cleaned-text identity.
+
+    ``line_mode=True`` segments on newlines (prose corpora); the default uses
+    fixed ``seg_tokens``-token windows (continuous word streams).
+
+    Scale shape: one explode (~n_tokens/seg_tokens rows per doc), one
+    groupBy(segment) count — map-side partial aggregation absorbs the heavy
+    hitters (the exact segments being removed are by definition high-
+    frequency, i.e. the combiner's best case) — one re-join keyed on the
+    segment string, one groupBy(doc). No windows, no driver state.
+    """
+    sep = "\n" if line_mode else " "
+    seg_arr = (
+        F.split(F.col(text_col), "\n")
+        if line_mode
+        else T.doc_segments(F.col(text_col), seg_tokens)
+    )
+    segs = docs.select(
+        F.col(id_col), F.posexplode(seg_arr).alias("pos", "seg")
+    )
+    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("_c"))
+    joined = segs.join(counts, "seg")
+    kept = F.when(F.col("_c") < dup_k, F.struct("pos", "seg"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("_c") >= dup_k).cast("int")).alias("n_dup_segments"),
+            F.array_sort(F.collect_list(kept)).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "n_dup_segments",
+            F.md5(
+                F.array_join(F.transform("_kept", lambda s: s["seg"]), sep)
+            ).alias("clean_sha"),
+        )
+    )

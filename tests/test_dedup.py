@@ -60,3 +60,45 @@ def test_embedding_near_dup(spark, sf_dir):
     rows = exact.collect()
     for r in rows:
         assert r["cos"] >= 0.9 and r["doc_id_a"] < r["doc_id_b"]
+
+
+def test_segment_dedup_line_mode_drops_shared_boilerplate(spark):
+    """Docs sharing a license-header line lose exactly that line; unique
+    lines survive and clean_sha reflects the newline-joined remainder."""
+    import hashlib
+
+    header = "licensed under apache two point zero"
+    rows = [
+        (1, header + "\nalpha body one\nbeta body one"),
+        (2, header + "\ngamma body two"),
+        (3, "delta solo doc\nepsilon second line"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(
+            docs, "doc_id", "text", dup_k=2, line_mode=True
+        ).collect()
+    }
+    assert out[1]["n_segments"] == 3 and out[1]["n_dup_segments"] == 1
+    assert out[2]["n_segments"] == 2 and out[2]["n_dup_segments"] == 1
+    assert out[3]["n_dup_segments"] == 0
+    want1 = hashlib.md5("alpha body one\nbeta body one".encode()).hexdigest()
+    want3 = hashlib.md5("delta solo doc\nepsilon second line".encode()).hexdigest()
+    assert out[1]["clean_sha"] == want1
+    assert out[3]["clean_sha"] == want3
+
+
+def test_segment_dedup_token_mode_counts_within_doc_repeats(spark):
+    """A segment repeated inside ONE doc counts toward dup_k (corpus-wide
+    occurrence count, not distinct-doc count)."""
+    seg = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, seg + " " + seg), (2, "i j k l m n o p")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(docs, "doc_id", "text", 8, dup_k=2).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 2
+    assert out[2]["n_dup_segments"] == 0

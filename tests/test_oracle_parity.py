@@ -91,3 +91,27 @@ def test_quality_score_parity(spark, con, sf_dir):
         f"select doc_id, {O.quality_score('text')} as q from documents order by doc_id"
     ).df()
     assert np.allclose(sdf["q"].astype(float), ddf["q"].astype(float), atol=1e-9)
+
+
+def test_segment_and_gopher_primitives_parity(spark, con, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdf = (
+        docs.select(
+            "doc_id",
+            T.doc_segments("text", 8).alias("segs"),
+            T.mean_word_len("text").alias("mwl"),
+            T.distinct_token_ratio("text").alias("dtr"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    ddf = con.sql(
+        f"""
+        select doc_id,
+          {O.doc_segments('text', 8)} as segs,
+          {O.mean_word_len('text')} as mwl,
+          {O.distinct_token_ratio('text')} as dtr
+        from documents order by doc_id
+        """
+    ).df()
+    _pairs_equal(sdf, ddf, ["segs", "mwl", "dtr"])
