@@ -824,6 +824,72 @@ def q_ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def q_ta_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k salient terms per document by tf-idf. The idf is the LINEAR
+    rational (N+1)/(df+1) rather than its logarithm: log() differs by ULPs
+    between JVM Math.log and DuckDB's libm, while integer-valued doubles and
+    one IEEE division are bit-identical across engines — determinism is part
+    of the operator contract here (same reason all hashing bottoms out in
+    md5). Rank ties break on term asc."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar; the oracle inlines the same constant
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "rank", "tf", "df", "score")
+    )
+
+
+def _tfidf_sql(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 round(tf.tf * ({n_docs_expr} + 1) * 1.0 / (df.df + 1), 6) AS score
+          FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank,
+               tf, df, score
+        FROM scored
+        QUALIFY rank <= {TFIDF_TOP_K}
+    """
+
+
+def q_er_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: per near-dup cluster keep one canonical document
+    (longest text, tie → min doc_id) and count what gets dropped — the
+    keep/drop decision a training-data pipeline executes after clustering."""
+    docs = _t(spark, sf_dir, "documents")
+    cl = q_er_clusters(spark, sf_dir)
+    j = cl.join(docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
 SEG_TOKENS = 8
 SEG_DUP_K = 2
 
@@ -925,7 +991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_langid": q_ta_langid,
         "ta_stopword_ratio": q_ta_stopword_ratio,
         "ta_gopher_rules": q_ta_gopher_rules,
+        "ta_tfidf_topterms": q_ta_tfidf_topterms,
         "ld_segment_dedup": q_ld_segment_dedup,
+        "er_survivors": q_er_survivors,
         "ev_tumbling_counts": q_ev_tumbling_counts,
         "ev_sessionize": q_ev_sessionize,
     }
@@ -1288,6 +1356,21 @@ def oracle_sql() -> dict[str, str]:
         "ta_stopword_ratio": f"""
             SELECT doc_id, round({O.stopword_ratio('text', T.LANG_MARKERS['en'])}, 6) AS stop_ratio
             FROM documents
+        """,
+        "ta_tfidf_topterms": _tfidf_sql(),
+        "er_survivors": f"""
+            WITH asg AS ({_ER_CLUSTERS_SQL}),
+            j AS (
+              SELECT a.doc_id, a.cluster_id, length(d.text) AS n_chars,
+                     row_number() OVER (PARTITION BY a.cluster_id
+                                        ORDER BY length(d.text) DESC, a.doc_id ASC) AS rn
+              FROM asg a JOIN documents d USING (doc_id)
+            )
+            SELECT cluster_id,
+                   min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id,
+                   count(*) AS group_size,
+                   count(*) - 1 AS n_dropped
+            FROM j GROUP BY 1
         """,
         "ta_gopher_rules": f"""
             SELECT doc_id,

@@ -80,11 +80,30 @@ def main(argv: list[str] | None = None) -> int:
         from mel_spark.operators.incremental import incremental_update
 
         inc = incremental_update(
-            spark, args.update_base, repos, cfg, checkpoint_dir=args.checkpoint
+            spark,
+            args.update_base,
+            repos,
+            cfg,
+            checkpoint_dir=args.checkpoint,
+            input_token=(
+                f"synthesize:{args.synthesize}:{args.seed}"
+                if args.synthesize
+                else str(args.input)
+            ),
         )
         inc["clusters"].select("mention_id", "cluster_id").write.mode(
             "overwrite"
         ).parquet(f"{args.output}/clusters.parquet")
+        from mel_spark.sources.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint)
+        stage_times = {}
+        for st in ("ingest_delta", "embed_delta", "block_index_delta",
+                   "pairs_delta", "clusters_delta"):
+            try:
+                stage_times[st] = mgr.counters(st).get("elapsed_sec")
+            except FileNotFoundError:
+                pass
         metrics = {
             "mode": "incremental",
             "new_mentions": inc["mentions_new"].count(),
@@ -92,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             "new_matches": inc["matches_new"].count(),
             "clusters": inc["clusters"].select("cluster_id").distinct().count(),
             "elapsed_sec": round(time.time() - t0, 2),
+            "stage_sec": stage_times,
         }
         if gold is not None:
             from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf

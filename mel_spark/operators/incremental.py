@@ -35,6 +35,13 @@ to the NEW batch:
      mentions — byte-identical to what a full run over (base ∪ new) emits
      (whenever skew caps do not bind), which is the equivalence contract
      tests/test_incremental.py asserts.
+
+Durable state per fold is O(batch), never O(corpus): a fold's checkpoint dir
+holds ``ingest_delta`` / ``embed_delta`` / ``pairs_delta`` / ``clusters_delta``
+plus a parent pointer to the base dir (the parquet analogue of an Iceberg
+APPEND + a small overwrite). Full tables are reconstructed through the chain
+(read_stage_chain / read_clusters_chain); ``compact_checkpoint`` periodically
+collapses a long chain back into materialized tables.
 """
 
 from __future__ import annotations
@@ -46,6 +53,88 @@ from pyspark.sql.window import Window
 from mel_spark.operators import blocking, cluster, pairs
 from mel_spark.pipeline import ERConfig, embed_stage, ingest
 from mel_spark.sources.checkpoint import LINEAGE_COLS, CheckpointManager
+
+
+PARENT_FILE = "_PARENT.json"
+
+
+def _parent_of(ckpt_dir: str) -> str | None:
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(ckpt_dir, PARENT_FILE)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)["base"]
+
+
+def _write_parent(ckpt_dir: str, base_dir: str) -> None:
+    import json as _json
+    import os as _os
+
+    _os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = _os.path.join(ckpt_dir, PARENT_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"base": str(base_dir)}, f)
+    _os.replace(tmp, _os.path.join(ckpt_dir, PARENT_FILE))
+
+
+def read_stage_chain(spark: SparkSession, ckpt_dir: str, stage: str) -> DataFrame:
+    """Read an append-only stage ('ingest' / 'embed') through the fold chain:
+    a fold dir holds only its ``<stage>_delta``; the full table is the union
+    of the root run's stage and every delta along the parent pointers. This is
+    what keeps each fold's WRITE cost O(batch) — the Iceberg analogue is a
+    table APPEND; parquet checkpoints express it as a chain instead."""
+    import os as _os
+
+    mgr = CheckpointManager(ckpt_dir)
+    drop = list(LINEAGE_COLS)
+    if _os.path.exists(mgr._marker(stage)):
+        return mgr.read(stage, spark).drop(*drop)
+    parent = _parent_of(ckpt_dir)
+    if parent is None:
+        raise FileNotFoundError(f"{ckpt_dir}: no '{stage}' stage and no parent chain")
+    delta = mgr.read(f"{stage}_delta", spark).drop(*drop)
+    return read_stage_chain(spark, parent, stage).unionByName(delta)
+
+
+def read_clusters_chain(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """Read the cluster assignment through the fold chain with OVERRIDE
+    semantics: a fold's ``clusters_delta`` holds only new mentions and
+    mentions whose assignment changed; everything else inherits the parent's
+    row. Returns the full (mention_id, cluster_id) table."""
+    import os as _os
+
+    mgr = CheckpointManager(ckpt_dir)
+    drop = list(LINEAGE_COLS)
+    if _os.path.exists(mgr._marker("clusters")):
+        return mgr.read("clusters", spark).drop(*drop).select("mention_id", "cluster_id")
+    parent = _parent_of(ckpt_dir)
+    if parent is None:
+        raise FileNotFoundError(f"{ckpt_dir}: no 'clusters' stage and no parent chain")
+    delta = (
+        mgr.read("clusters_delta", spark).drop(*drop).select("mention_id", "cluster_id")
+    )
+    parent_cl = read_clusters_chain(spark, parent)
+    return parent_cl.join(
+        delta.select("mention_id"), "mention_id", "left_anti"
+    ).unionByName(delta)
+
+
+def compact_checkpoint(spark: SparkSession, ckpt_dir: str) -> None:
+    """Materialize the full ingest/embed/clusters tables into ``ckpt_dir`` and
+    drop its parent pointer — run periodically (e.g. weekly over daily folds)
+    to bound chain depth; afterwards the dir reads like a from-scratch run."""
+    import os as _os
+
+    mgr = CheckpointManager(ckpt_dir)
+    for stage in ("ingest", "embed", "block_index"):
+        mgr.write(stage, read_stage_chain(spark, ckpt_dir, stage))
+    mgr.write("clusters", read_clusters_chain(spark, ckpt_dir))
+    parent = _os.path.join(ckpt_dir, PARENT_FILE)
+    if _os.path.exists(parent):
+        _os.remove(parent)
 
 
 def content_roots(mentions: DataFrame, clusters: DataFrame) -> DataFrame:
@@ -80,14 +169,18 @@ def probe_keys(
     delta_keys: DataFrame,
     base_keys: DataFrame,
     max_candidates_per_key: int = 64,
+    broadcast_delta: bool = False,
 ) -> DataFrame:
     """delta x base candidate pairs: equi-join on raw block_key, capped at
     ``max_candidates_per_key`` old candidates per (new member, key) in
     deterministic min-order — cap_blocks' fan-out bound applied to the probe.
+    ``broadcast_delta`` hints the (batch-proportional) delta side so the
+    corpus key stream is scanned, never shuffled.
     Output: (mention_id_a < mention_id_b, block_key), distinct."""
-    hits = delta_keys.select(
-        "block_key", F.col("mention_id").alias("_new")
-    ).join(
+    delta_side = delta_keys.select("block_key", F.col("mention_id").alias("_new"))
+    if broadcast_delta:
+        delta_side = F.broadcast(delta_side)
+    hits = delta_side.join(
         base_keys.select("block_key", F.col("mention_id").alias("_old")),
         "block_key",
     ).filter(F.col("_new") != F.col("_old"))
@@ -142,69 +235,144 @@ def incremental_update(
     new_repos: DataFrame,
     cfg: ERConfig = ERConfig(),
     checkpoint_dir: str | None = None,
+    input_token: str = "",
 ) -> dict[str, DataFrame]:
     """Fold ``new_repos`` into the completed run at ``base_checkpoint``.
 
     Returns {"mentions", "embedded", "matches_new", "clusters"} where
     ``clusters`` is the FULL updated (mention_id, cluster_id) assignment over
     base ∪ new mentions, labeled identically to a from-scratch run.
+
+    ``input_token`` identifies the new batch (path / synth spec); hashed with
+    the config and base identity into each delta stage's checkpoint
+    fingerprint so a rerun with a different batch/threshold recomputes instead
+    of serving stale stages (same protocol as pipeline.run_pipeline).
     """
-    base = CheckpointManager(base_checkpoint)
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    from dataclasses import asdict as _asdict
+
     drop = list(LINEAGE_COLS)
-    mentions_b = base.read("ingest", spark).drop(*drop)
-    feats_b = base.read("embed", spark).drop(*drop)
-    clusters_b = base.read("clusters", spark).drop(*drop)
+    # chain-aware reads: base_checkpoint may be a from-scratch run OR itself a
+    # fold dir (daily-ingest chaining) — either way these resolve to the full
+    # corpus tables
+    mentions_b = read_stage_chain(spark, base_checkpoint, "ingest")
+    feats_b = read_stage_chain(spark, base_checkpoint, "embed")
+    clusters_b = read_clusters_chain(spark, base_checkpoint)
+
+    # every delta stage checkpoints like run_pipeline's stages do — each
+    # expensive branch materializes exactly once (downstream counts/joins read
+    # parquet, never recompute the Arrow featurizer or the probe joins), and a
+    # crashed fold resumes from its last green delta stage
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    fp = _hashlib.sha256(
+        (
+            _json.dumps(_asdict(cfg), sort_keys=True)
+            + "\x00" + str(base_checkpoint) + "\x00" + input_token
+        ).encode()
+    ).hexdigest()
+
+    def _stage(name, thunk) -> DataFrame:
+        if ckpt is None:
+            return thunk().localCheckpoint(eager=False)
+        return ckpt.get_or_compute(name, spark, thunk, fingerprint=fp)[0].drop(*drop)
 
     # 1. ingest; drop idempotent re-sends of known mentions
-    new_m = ingest(new_repos).join(
-        mentions_b.select("mention_id"), "mention_id", "left_anti"
+    new_m = _stage(
+        "ingest_delta",
+        lambda: ingest(new_repos).join(
+            mentions_b.select("mention_id"), "mention_id", "left_anti"
+        ),
     )
 
-    # 2. featurize only unseen contents
-    new_content_m = new_m.join(feats_b.select("csid"), "csid", "left_anti")
-    feats_new = embed_stage(new_content_m, cfg)
+    # 2. featurize only unseen contents. The known-csid set is corpus-sized
+    # but 8 bytes/row — explicitly broadcast so the batch is filtered with a
+    # scan, not a shuffle (the job disables the static broadcast threshold)
+    new_content_m = new_m.join(
+        F.broadcast(feats_b.select("csid")), "csid", "left_anti"
+    )
+    feats_new = _stage("embed_delta", lambda: embed_stage(new_content_m, cfg))
     feats_all = feats_b.unionByName(feats_new)
 
-    # 3. delta key set: every (csid, lang) combination this batch introduces —
-    # new contents in any lang, and KNOWN contents surfacing in a new lang
-    base_cl = mentions_b.select("csid", "lang").dropDuplicates(["csid", "lang"])
-    delta_cl = (
-        new_m.select("csid", "lang")
-        .dropDuplicates(["csid", "lang"])
-        .join(base_cl, ["csid", "lang"], "left_anti")
-    )
-    delta_keys = raw_band_keys(
-        feats_all.join(delta_cl.select("csid").distinct(), "csid", "left_semi"),
-        delta_cl,
-    )
-    base_keys = raw_band_keys(feats_b, base_cl)
+    # THE FOLD'S SHUFFLE DISCIPLINE: every join below broadcasts a
+    # BATCH-proportional id/key set and streams the corpus side — the
+    # 1M..10^12-row feats/keys tables are scanned (column-pruned) but
+    # never shuffled. A batch too big for these broadcasts belongs in the
+    # full pipeline, not a fold.
 
-    # 3a. delta x delta with the standard skew controls
-    dd_blocks = blocking.cap_blocks(
-        blocking.salt_hot_blocks(delta_keys, cfg.salt_threshold),
-        cfg.max_block_size,
-    )
-    dd_pairs = pairs.candidate_pairs(dd_blocks)
-    # 3b. delta x base probe (at scale: base_keys = pre-bucketed block index)
-    db_pairs = probe_keys(
-        delta_keys, base_keys, max_candidates_per_key=cfg.max_block_size
-    )
-    cand = (
-        dd_pairs.unionByName(db_pairs)
-        .groupBy("mention_id_a", "mention_id_b")
-        .agg(F.min("block_key").alias("block_key"))
-    )
+    # 3. delta key set: every (csid, lang) combination this batch
+    # introduces — new contents in any lang, and KNOWN contents surfacing
+    # in a new lang (which opens blocks the base run never formed). Written
+    # as this fold's APPEND to the durable block index: the next fold's
+    # probe structure already contains these keys via the chain read.
+    def _delta_keys() -> DataFrame:
+        base_cl = mentions_b.select("csid", "lang").dropDuplicates(["csid", "lang"])
+        delta_cl = (
+            new_m.select("csid", "lang")
+            .dropDuplicates(["csid", "lang"])
+            .join(base_cl, ["csid", "lang"], "left_anti")
+        )
+        dk = raw_band_keys(
+            feats_all.select("csid", "bands").join(
+                F.broadcast(delta_cl.select("csid").distinct()), "csid", "left_semi"
+            ),
+            delta_cl,
+        )
+        if cfg.use_hyperplane_blocks:
+            # hyperplane keys are lang-independent → only NEW contents add them
+            hp = blocking.hyperplane_blocks(
+                feats_new, "csid", "emb",
+                dim=cfg.emb_dim, n_planes=cfg.hyperplane_planes,
+                bands=cfg.hyperplane_bands, seed=cfg.seed,
+            ).select(
+                F.xxhash64(F.lit("hp"), "block_key").alias("block_key"), "mention_id"
+            )
+            dk = dk.unionByName(hp)
+        return dk
 
-    # 4. score + threshold with the shared fused kernel
-    records = feats_all.select(F.col("csid").alias("mention_id"), "emb", "xs")
-    scored = pairs.score_pairs_fused_arrow(
-        cand, records, w_cos=cfg.w_cos, w_jaccard=cfg.w_jaccard
-    )
+    delta_keys = _stage("block_index_delta", _delta_keys)
+    # the corpus side of the probe: the base run's materialized block index
+    # (plus any prior folds' deltas), READ — never recomputed from features
+    base_keys = read_stage_chain(spark, base_checkpoint, "block_index")
+
+    def _scored() -> DataFrame:
+        # 3a. delta x delta with the standard skew controls
+        dd_blocks = blocking.cap_blocks(
+            blocking.salt_hot_blocks(delta_keys, cfg.salt_threshold),
+            cfg.max_block_size,
+        )
+        dd_pairs = pairs.candidate_pairs(dd_blocks)
+        # 3b. delta x base probe: broadcast the delta keys; the corpus key
+        # stream is scan-only (at scale: a bucketed block index makes this a
+        # shuffle-free join even without the broadcast)
+        db_pairs = probe_keys(
+            delta_keys, base_keys, max_candidates_per_key=cfg.max_block_size,
+            broadcast_delta=True,
+        )
+        cand = (
+            dd_pairs.unionByName(db_pairs)
+            .groupBy("mention_id_a", "mention_id_b")
+            .agg(F.min("block_key").alias("block_key"))
+        )
+        # 4. score with the shared fused kernel over ONLY the records that
+        # appear in a candidate pair (broadcast semi-join prune of feats_all)
+        pair_ids = (
+            cand.select(F.col("mention_id_a").alias("mention_id"))
+            .unionByName(cand.select(F.col("mention_id_b").alias("mention_id")))
+            .distinct()
+        )
+        records = feats_all.select(
+            F.col("csid").alias("mention_id"), "emb", "xs"
+        ).join(F.broadcast(pair_ids), "mention_id", "left_semi")
+        return pairs.score_pairs_fused_arrow(
+            cand, records, w_cos=cfg.w_cos, w_jaccard=cfg.w_jaccard
+        )
+
+    scored = _stage("pairs_delta", _scored)
     matches_new = pairs.match_pairs(scored, cfg.threshold)
 
     # 5. incremental components over root-collapsed edges
-    import os as _os
-
     roots_old = content_roots(mentions_b, clusters_b)
     cc_dir = _os.path.join(checkpoint_dir, "cc_rounds") if checkpoint_dir else None
     remap = merge_components(matches_new, roots_old, checkpoint_dir=cc_dir).select(
@@ -213,33 +381,52 @@ def incremental_update(
 
     # 6. final content-level assignment: old csid → remap(root) else root;
     #    new csid → remap(csid) else csid (singleton)
-    old_assign = (
-        roots_old.join(remap, roots_old["root"] == remap["_node"], "left")
-        .select("csid", F.coalesce("_new_root", "root").alias("_root"))
-    )
-    new_assign = (
-        feats_new.select("csid")
-        .join(remap, feats_new["csid"] == remap["_node"], "left")
-        .select("csid", F.coalesce("_new_root", F.col("csid")).alias("_root"))
-    )
-    assign = old_assign.unionByName(new_assign)
+    def _clusters() -> DataFrame:
+        old_assign = (
+            roots_old.join(remap, roots_old["root"] == remap["_node"], "left")
+            .select("csid", F.coalesce("_new_root", "root").alias("_root"))
+        )
+        new_assign = (
+            feats_new.select("csid")
+            .join(remap, feats_new["csid"] == remap["_node"], "left")
+            .select("csid", F.coalesce("_new_root", F.col("csid")).alias("_root"))
+        )
+        assign = old_assign.unionByName(new_assign)
+        # expand to mentions and relabel deterministically (min mid per root),
+        # matching pipeline.run_pipeline's output contract exactly
+        mentions_all = mentions_b.unionByName(new_m)
+        expanded = mentions_all.select("mid", "mention_id", "csid").join(assign, "csid")
+        mins = expanded.groupBy("_root").agg(F.min("mid").alias("cluster_id"))
+        return expanded.join(mins, "_root").select("mention_id", "cluster_id")
 
-    # expand to mentions and relabel deterministically (min mid per root),
-    # matching pipeline.run_pipeline's output contract exactly
-    mentions_all = mentions_b.unionByName(new_m)
-    expanded = mentions_all.select("mid", "mention_id", "csid").join(assign, "csid")
-    mins = expanded.groupBy("_root").agg(F.min("mid").alias("cluster_id"))
-    clusters = expanded.join(mins, "_root").select("mention_id", "cluster_id")
+    if ckpt is None:
+        clusters = _clusters().localCheckpoint(eager=False)
+    else:
+        # O(batch) durable state: the fold writes only its assignment DELTA —
+        # new mentions plus mentions whose (cluster_id) changed (root merges
+        # AND min-mid relabels when a new member becomes a cluster's minimum).
+        # The full table is reconstructed by override through the chain.
+        def _clusters_delta() -> DataFrame:
+            cl = _clusters()
+            base_asg = clusters_b.select(
+                "mention_id", F.col("cluster_id").alias("_old")
+            )
+            return (
+                cl.join(base_asg, "mention_id", "left")
+                .filter(F.col("_old").isNull() | (F.col("_old") != F.col("cluster_id")))
+                .select("mention_id", "cluster_id")
+            )
 
-    out = {
-        "mentions": mentions_all,
+        delta = _stage("clusters_delta", _clusters_delta)
+        _write_parent(checkpoint_dir, base_checkpoint)
+        clusters = clusters_b.join(
+            delta.select("mention_id"), "mention_id", "left_anti"
+        ).unionByName(delta)
+
+    return {
+        "mentions": mentions_b.unionByName(new_m),
         "mentions_new": new_m,
         "embedded": feats_all,
         "matches_new": matches_new,
         "clusters": clusters,
     }
-    if checkpoint_dir:
-        ckpt = CheckpointManager(checkpoint_dir)
-        out["clusters"] = ckpt.write("clusters", clusters)
-        out["embedded"] = ckpt.write("embed", feats_all)
-    return out

@@ -127,14 +127,14 @@ def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
     ).mapInPandas(feat_fn, feat_schema)
 
 
-def block_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> DataFrame:
-    """Stage 4: blocks over distinct (csid, lang), then skew controls
-    (salt → cap). No exact-sha key family is needed — byte-identical files
-    share a csid and are clustered structurally.
-
-    Both the key AND the member id are 8-byte longs: the exploded block table
-    (~17 rows/content) is the pipeline's biggest shuffle, and the cap/salt
-    windows sort it — 16-byte rows keep that sort allocation-light."""
+def block_index_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Stage 4a: the RAW block-key index — (block_key long, mention_id=csid)
+    for every (content, lang) combination, no salt/cap/singleton policies.
+    Materialized as its own checkpoint stage because it is also the probe
+    structure incremental folds join against (operators/incremental.py): a
+    fold APPENDS its delta keys to this index instead of re-deriving corpus
+    keys from features. At cluster scale, write it bucketed by block_key and
+    both the pipeline's self-join and the fold's probe become shuffle-free."""
     # a content seen under k languages blocks in all k of them (preserves the
     # per-mention (lang, band) semantics after content-level dedup)
     content_langs = mentions.select("csid", "lang").dropDuplicates(["csid", "lang"])
@@ -153,7 +153,6 @@ def block_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> DataFra
             "mention_id",
         )
     )
-    blocks = b_mh
     if cfg.use_hyperplane_blocks:
         b_hp = blocking.hyperplane_blocks(
             feats,
@@ -164,8 +163,17 @@ def block_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> DataFra
             bands=cfg.hyperplane_bands,
             seed=cfg.seed,
         ).select(F.xxhash64(F.lit("hp"), "block_key").alias("block_key"), "mention_id")
-        blocks = blocks.unionByName(b_hp)
-    blocks = blocking.salt_hot_blocks(blocks, cfg.salt_threshold)
+        b_mh = b_mh.unionByName(b_hp)
+    return b_mh
+
+
+def block_stage(index: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Stage 4b: pairing-time skew policies over the raw index (salt → cap).
+
+    Both the key AND the member id are 8-byte longs: the exploded block table
+    (~17 rows/content) is the pipeline's biggest shuffle, and the cap/salt
+    windows sort it — 16-byte rows keep that sort allocation-light."""
+    blocks = blocking.salt_hot_blocks(index, cfg.salt_threshold)
     return blocking.cap_blocks(blocks, cfg.max_block_size)
 
 
@@ -241,8 +249,12 @@ def run_pipeline(
     feats, _ = ckpt.get_or_compute(
         "embed", spark, lambda: embed_stage(mentions, cfg), fingerprint=fp
     )
+    index, _ = ckpt.get_or_compute(
+        "block_index", spark, lambda: block_index_stage(feats, mentions, cfg),
+        fingerprint=fp,
+    )
     blocks, _ = ckpt.get_or_compute(
-        "blocks", spark, lambda: block_stage(feats, mentions, cfg), fingerprint=fp
+        "blocks", spark, lambda: block_stage(index, cfg), fingerprint=fp
     )
     scored, _ = ckpt.get_or_compute(
         "pairs", spark, lambda: pair_stage(blocks, feats, cfg, mentions), fingerprint=fp

@@ -119,3 +119,40 @@ def test_content_roots_cover_every_base_content(spark, tmp_path):
     n_csid = out["mentions"].select("csid").distinct().count()
     assert roots.count() == n_csid
     assert roots.select("csid").distinct().count() == n_csid
+
+
+def test_chained_folds_equal_full_run(spark, tmp_path):
+    """Two successive incremental folds (checkpoint chain: deltas + parent
+    pointers) reproduce a from-scratch run over all three batches, and
+    compact_checkpoint collapses the chain without changing the answer."""
+    from mel_spark.operators.incremental import compact_checkpoint, read_clusters_chain
+
+    tables = generate_repos(GenConfig(n_files=400, seed=21))
+    repos = spark.createDataFrame(tables["repos"])
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10))
+    b0, b1, b2 = repos.filter(h < 6), repos.filter(h.between(6, 7)), repos.filter(h > 7)
+    assert b1.count() > 0 and b2.count() > 0
+
+    run_pipeline(spark, b0, str(tmp_path / "base"))
+    incremental_update(
+        spark, str(tmp_path / "base"), b1, checkpoint_dir=str(tmp_path / "f1")
+    )
+    inc2 = incremental_update(
+        spark, str(tmp_path / "f1"), b2, checkpoint_dir=str(tmp_path / "f2")
+    )
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    _assert_same_clusters(inc2["clusters"], full["clusters"])
+
+    # chain reads reconstruct the same table the fold returned
+    _assert_same_clusters(
+        read_clusters_chain(spark, str(tmp_path / "f2")), full["clusters"]
+    )
+    # compaction materializes the chain and stays identical
+    compact_checkpoint(spark, str(tmp_path / "f2"))
+    _assert_same_clusters(
+        read_clusters_chain(spark, str(tmp_path / "f2")), full["clusters"]
+    )
+    # a compacted fold dir is a standalone base (no parent pointer left)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "f2" / "_PARENT.json"))

@@ -31,6 +31,8 @@ AUDIT = [
     "pricing_summary",
     "join_topn_revenue",
     "token_matrix",
+    "ld_segment_dedup",
+    "ta_gopher_rules",
 ]
 
 
