@@ -156,3 +156,16 @@ def test_chained_folds_equal_full_run(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "f2" / "_PARENT.json"))
+
+
+def test_empty_batch_is_identity(spark, tmp_path):
+    """Folding an EMPTY batch must reproduce the base assignment exactly
+    (degenerate-input contract, FIXTURES.md §7)."""
+    tables = generate_repos(GenConfig(n_files=150, seed=31))
+    repos = spark.createDataFrame(tables["repos"])
+    base = run_pipeline(spark, repos, str(tmp_path / "base"))
+    empty = repos.filter(F.lit(False))
+    inc = incremental_update(
+        spark, str(tmp_path / "base"), empty, checkpoint_dir=str(tmp_path / "f0")
+    )
+    _assert_same_clusters(inc["clusters"], base["clusters"])
