@@ -286,9 +286,10 @@ def incremental_update(
         ),
     )
 
-    # 2. featurize only unseen contents. The known-csid set is corpus-sized
-    # but 8 bytes/row — explicitly broadcast so the batch is filtered with a
-    # scan, not a shuffle (the job disables the static broadcast threshold)
+    # 2. featurize only unseen contents. The known-csid set is the one
+    # corpus-sized side we broadcast (8 bytes/row — ~8 GB per 10^9 contents);
+    # beyond that tier swap this for a bloom-filter prefilter + bucketed
+    # anti-join on the csid column — same semantics, no broadcast
     new_content_m = new_m.join(
         F.broadcast(feats_b.select("csid")), "csid", "left_anti"
     )
