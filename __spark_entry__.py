@@ -1393,8 +1393,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             cnt AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
             SELECT s.doc_id,
-                   count(*) AS n_segments,
-                   sum(CASE WHEN c.c >= {SEG_DUP_K} THEN 1 ELSE 0 END) AS n_dup_segments,
+                   count(*)::BIGINT AS n_segments,
+                   (sum(CASE WHEN c.c >= {SEG_DUP_K} THEN 1 ELSE 0 END))::BIGINT AS n_dup_segments,
                    md5(coalesce(string_agg(CASE WHEN c.c < {SEG_DUP_K} THEN s.seg END,
                                            ' ' ORDER BY s.pos), '')) AS clean_sha
             FROM segs s JOIN cnt c USING (seg)

@@ -42,6 +42,16 @@ def main(argv: list[str] | None = None) -> int:
         "--input/--synthesize batch into it instead of running from scratch",
     )
     args = p.parse_args(argv)
+    if args.update_base:
+        import os as _os
+
+        if _os.path.abspath(args.update_base) == _os.path.abspath(args.checkpoint):
+            p.error(
+                "--checkpoint must differ from --update-base: a fold writes delta "
+                "stages + a parent pointer into --checkpoint, and writing them into "
+                "the completed base corrupts it (the base's full 'clusters' marker "
+                "would shadow the fold's clusters_delta on the next chain read)"
+            )
 
     from mel_spark.session import get_spark
     from mel_spark.pipeline import ERConfig, run_pipeline

@@ -167,6 +167,34 @@ def minhash_long_blocks(
     )
 
 
+def raw_band_keys(feats: DataFrame, content_langs: DataFrame) -> DataFrame:
+    """(block_key long, mention_id=csid) raw minhash-band keys from the fused
+    featurizer's precomputed ``bands`` column — the SINGLE definition of the
+    xxhash64("mh", band, lang) key identity shared by the pipeline's durable
+    block index (pipeline.block_index_stage) and incremental folds' delta keys
+    (operators/incremental.py). Any drift between those two constructions
+    silently breaks the fold-equals-full-run contract (delta keys would stop
+    joining the base index), so both call THIS function. No salt/cap/singleton
+    policies here — those are pairing-time policies, not key identities.
+
+    ``content_langs``: (csid, lang) — a content seen under k languages blocks
+    in all k of them (preserves per-mention (lang, band) semantics after
+    content-level dedup)."""
+    return (
+        feats.select("csid", "bands")
+        .join(content_langs.select("csid", "lang"), "csid")
+        .select(
+            F.col("csid").alias("mention_id"),
+            F.explode("bands").alias("_band"),
+            "lang",
+        )
+        .select(
+            F.xxhash64(F.lit("mh"), F.col("_band"), F.col("lang")).alias("block_key"),
+            "mention_id",
+        )
+    )
+
+
 def salt_hot_blocks(blocks: DataFrame, salt_threshold: int = 256, n_salts: int = 8) -> DataFrame:
     """Split blocks larger than ``salt_threshold`` into ``n_salts`` sub-blocks
     by a deterministic hash of (block_key, member). Trades (bounded) recall

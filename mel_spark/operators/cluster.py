@@ -83,6 +83,7 @@ def connected_components(
     id_b: str = "mention_id_b",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
+    input_fingerprint: str | None = None,
 ) -> DataFrame:
     """Cluster the undirected match graph; returns (mention_id, cluster_id)
     where cluster_id = min member id (stable, deterministic).
@@ -94,7 +95,14 @@ def connected_components(
     star round durably writes its edge set + a marker recording the round
     number and fingerprint; a restarted job continues from the last
     completed round instead of iteration 0. Without it, rounds use
-    localCheckpoint (lineage break only — cheaper, not durable)."""
+    localCheckpoint (lineage break only — cheaper, not durable).
+
+    ``input_fingerprint`` identifies the EDGE SET this state belongs to (the
+    caller's stage fingerprint). Persisted into _CC_STATE.json; on resume a
+    mismatch discards the saved rounds and restarts from iteration 0 —
+    without it, rerunning into the same dir with a different input/threshold
+    would silently resume from the previous run's converged edges and emit
+    stale components."""
     import json as _json
     import os as _os
 
@@ -113,15 +121,23 @@ def connected_components(
         if _os.path.exists(state_path):
             with open(state_path) as f:
                 state = _json.load(f)
-            edges = spark.read.parquet(
-                _os.path.join(checkpoint_dir, f"iter{state['iteration']}")
-            )
-            start_iter = state["iteration"] + 1
-            prev_fp = tuple(state["fingerprint"])
-            converged = bool(state.get("converged"))
-            logger.info(
-                "connected_components: resuming from round %d", state["iteration"]
-            )
+            if state.get("input_fp") != input_fingerprint:
+                logger.warning(
+                    "connected_components: %s holds state for a different input "
+                    "fingerprint (%s != %s); discarding saved rounds",
+                    checkpoint_dir, state.get("input_fp"), input_fingerprint,
+                )
+                _os.remove(state_path)
+            else:
+                edges = spark.read.parquet(
+                    _os.path.join(checkpoint_dir, f"iter{state['iteration']}")
+                )
+                start_iter = state["iteration"] + 1
+                prev_fp = tuple(state["fingerprint"])
+                converged = bool(state.get("converged"))
+                logger.info(
+                    "connected_components: resuming from round %d", state["iteration"]
+                )
     if start_iter == 0:
         edges = edges.localCheckpoint(eager=True)
     for it in range(start_iter, max_iterations):
@@ -140,7 +156,13 @@ def connected_components(
             tmp = state_path + ".tmp"
             with open(tmp, "w") as f:
                 _json.dump(
-                    {"iteration": it, "fingerprint": list(fp), "converged": converged}, f
+                    {
+                        "iteration": it,
+                        "fingerprint": list(fp),
+                        "converged": converged,
+                        "input_fp": input_fingerprint,
+                    },
+                    f,
                 )
             _os.replace(tmp, state_path)  # atomic: round is resumable
         prev_fp = fp

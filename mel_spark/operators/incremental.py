@@ -149,20 +149,9 @@ def content_roots(mentions: DataFrame, clusters: DataFrame) -> DataFrame:
     )
 
 
-def raw_band_keys(feats: DataFrame, content_langs: DataFrame) -> DataFrame:
-    """(block_key, mention_id=csid) raw minhash-band keys — the same
-    xxhash64("mh", band, lang) construction as pipeline.block_stage, WITHOUT
-    salt/cap/singleton-drop (those are pairing-time policies, not key
-    identities)."""
-    return (
-        feats.select("csid", "bands")
-        .join(content_langs, "csid")
-        .select("csid", F.explode("bands").alias("_band"), "lang")
-        .select(
-            F.xxhash64(F.lit("mh"), F.col("_band"), F.col("lang")).alias("block_key"),
-            F.col("csid").alias("mention_id"),
-        )
-    )
+# single key-identity definition shared with pipeline.block_index_stage —
+# re-exported here for callers/tests that import it from this module
+raw_band_keys = blocking.raw_band_keys
 
 
 def probe_keys(
@@ -170,20 +159,57 @@ def probe_keys(
     base_keys: DataFrame,
     max_candidates_per_key: int = 64,
     broadcast_delta: bool = False,
+    salt_threshold: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """delta x base candidate pairs: equi-join on raw block_key, capped at
     ``max_candidates_per_key`` old candidates per (new member, key) in
     deterministic min-order — cap_blocks' fan-out bound applied to the probe.
     ``broadcast_delta`` hints the (batch-proportional) delta side so the
     corpus key stream is scanned, never shuffled.
+
+    ``salt_threshold`` applies the SAME (block_key, member)-derived salt split
+    as blocking.salt_hot_blocks to BOTH probe sides before the join: a hot
+    base key (one boilerplate band at the 10^12 tier) would otherwise fan out
+    |base block| rows per matching new member INTO ONE (new, key) window
+    partition before the cap filters — the join output is shuffled for the
+    window, so the raw-key join makes the probe a straggler. Salting both
+    sides with the identical hash keeps the probe's co-occurrence semantics
+    consistent with the full pipeline's salted blocks (a base/new member pair
+    meets in the probe iff it would share a salted sub-block in a full run)
+    while bounding each window partition to ~|block|/n_salts.
     Output: (mention_id_a < mention_id_b, block_key), distinct."""
     delta_side = delta_keys.select("block_key", F.col("mention_id").alias("_new"))
+    base_side = base_keys.select("block_key", F.col("mention_id").alias("_old"))
+    if salt_threshold is not None:
+        # hot-key set from the base index (groupBy count: combiner-friendly,
+        # result is tiny — only keys above the threshold survive); at scale
+        # persist these sizes next to the block index instead of re-counting
+        hot = (
+            base_side.groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") > salt_threshold)
+            .select("block_key", F.lit(True).alias("_hot"))
+        )
+
+        def _salted(df: DataFrame, member: str) -> DataFrame:
+            salt = F.pmod(F.xxhash64("block_key", member), F.lit(n_salts))
+            return (
+                df.join(F.broadcast(hot), "block_key", "left")
+                .withColumn(
+                    "block_key",
+                    F.when(
+                        F.col("_hot").isNotNull(), F.xxhash64("block_key", salt)
+                    ).otherwise(F.col("block_key")),
+                )
+                .drop("_hot")
+            )
+
+        delta_side = _salted(delta_side, "_new")
+        base_side = _salted(base_side, "_old")
     if broadcast_delta:
         delta_side = F.broadcast(delta_side)
-    hits = delta_side.join(
-        base_keys.select("block_key", F.col("mention_id").alias("_old")),
-        "block_key",
-    ).filter(F.col("_new") != F.col("_old"))
+    hits = delta_side.join(base_side, "block_key").filter(F.col("_new") != F.col("_old"))
     w = Window.partitionBy("_new", "block_key").orderBy("_old")
     hits = hits.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= max_candidates_per_key
@@ -203,6 +229,7 @@ def merge_components(
     new_matches: DataFrame,
     roots_old: DataFrame,
     checkpoint_dir: str | None = None,
+    input_fingerprint: str | None = None,
 ) -> DataFrame:
     """Incremental transitive closure: collapse old endpoints to their cluster
     roots, run connected components over the (small) mapped edge set, and emit
@@ -226,7 +253,9 @@ def merge_components(
         )
         .filter(F.col("mention_id_a") != F.col("mention_id_b"))
     )
-    return cluster.connected_components(mapped, checkpoint_dir=checkpoint_dir)
+    return cluster.connected_components(
+        mapped, checkpoint_dir=checkpoint_dir, input_fingerprint=input_fingerprint
+    )
 
 
 def incremental_update(
@@ -252,6 +281,17 @@ def incremental_update(
     import json as _json
     import os as _os
     from dataclasses import asdict as _asdict
+
+    if checkpoint_dir is not None and _os.path.abspath(checkpoint_dir) == _os.path.abspath(
+        base_checkpoint
+    ):
+        # a fold dir chains off its base via _PARENT.json; folding INTO the
+        # base would write a self-referential parent and let the base's full
+        # 'clusters' marker shadow clusters_delta on the next chain read
+        raise ValueError(
+            "incremental_update: checkpoint_dir must differ from base_checkpoint "
+            f"(both are {checkpoint_dir!r})"
+        )
 
     drop = list(LINEAGE_COLS)
     # chain-aware reads: base_checkpoint may be a from-scratch run OR itself a
@@ -335,7 +375,26 @@ def incremental_update(
     delta_keys = _stage("block_index_delta", _delta_keys)
     # the corpus side of the probe: the base run's materialized block index
     # (plus any prior folds' deltas), READ — never recomputed from features
-    base_keys = read_stage_chain(spark, base_checkpoint, "block_index")
+    try:
+        base_keys = read_stage_chain(spark, base_checkpoint, "block_index")
+    except FileNotFoundError:
+        # base predates the block_index stage (it has ingest/embed/clusters
+        # but no durable index): derive the keys from the base features in
+        # hand — one extra corpus pass for this fold only; compact_checkpoint
+        # (or one run_pipeline pass) materializes the index for future folds
+        base_cl = mentions_b.select("csid", "lang").dropDuplicates(["csid", "lang"])
+        base_keys = raw_band_keys(feats_b, base_cl)
+        if cfg.use_hyperplane_blocks:
+            base_keys = base_keys.unionByName(
+                blocking.hyperplane_blocks(
+                    feats_b, "csid", "emb",
+                    dim=cfg.emb_dim, n_planes=cfg.hyperplane_planes,
+                    bands=cfg.hyperplane_bands, seed=cfg.seed,
+                ).select(
+                    F.xxhash64(F.lit("hp"), "block_key").alias("block_key"),
+                    "mention_id",
+                )
+            )
 
     def _scored() -> DataFrame:
         # 3a. delta x delta with the standard skew controls
@@ -349,7 +408,7 @@ def incremental_update(
         # shuffle-free join even without the broadcast)
         db_pairs = probe_keys(
             delta_keys, base_keys, max_candidates_per_key=cfg.max_block_size,
-            broadcast_delta=True,
+            broadcast_delta=True, salt_threshold=cfg.salt_threshold,
         )
         cand = (
             dd_pairs.unionByName(db_pairs)
@@ -376,7 +435,9 @@ def incremental_update(
     # 5. incremental components over root-collapsed edges
     roots_old = content_roots(mentions_b, clusters_b)
     cc_dir = _os.path.join(checkpoint_dir, "cc_rounds") if checkpoint_dir else None
-    remap = merge_components(matches_new, roots_old, checkpoint_dir=cc_dir).select(
+    remap = merge_components(
+        matches_new, roots_old, checkpoint_dir=cc_dir, input_fingerprint=fp
+    ).select(
         F.col("mention_id").alias("_node"), F.col("cluster_id").alias("_new_root")
     )
 

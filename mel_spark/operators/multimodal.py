@@ -92,10 +92,8 @@ def media_feature_udf(dim: int = 32, fake: bool = False):
                     "media decode needs PIL/librosa/av — not in this container; "
                     "pass fake=True for the deterministic stand-in decoder"
                 )
-            feats = [
-                _fake_decode(p, dim) / max(1e-9, float(np.linalg.norm(_fake_decode(p, dim))))
-                for p in pdf["payload"]
-            ]
+            decoded = [_fake_decode(p, dim) for p in pdf["payload"]]
+            feats = [v / max(1e-9, float(np.linalg.norm(v))) for v in decoded]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

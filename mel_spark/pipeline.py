@@ -136,23 +136,11 @@ def block_index_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> D
     keys from features. At cluster scale, write it bucketed by block_key and
     both the pipeline's self-join and the fold's probe become shuffle-free."""
     # a content seen under k languages blocks in all k of them (preserves the
-    # per-mention (lang, band) semantics after content-level dedup)
+    # per-mention (lang, band) semantics after content-level dedup); key
+    # identity defined ONCE in blocking.raw_band_keys — shared with
+    # incremental folds so delta keys always join this index
     content_langs = mentions.select("csid", "lang").dropDuplicates(["csid", "lang"])
-    # band ints are precomputed by the fused featurizer — blocking is just an
-    # explode + one xxhash64 mixing in the lang (no array math here)
-    b_mh = (
-        feats.select("csid", "bands")
-        .join(content_langs, "csid")
-        .select(
-            F.col("csid").alias("mention_id"),
-            F.explode("bands").alias("_band"),
-            "lang",
-        )
-        .select(
-            F.xxhash64(F.lit("mh"), F.col("_band"), F.col("lang")).alias("block_key"),
-            "mention_id",
-        )
-    )
+    b_mh = blocking.raw_band_keys(feats, content_langs)
     if cfg.use_hyperplane_blocks:
         b_hp = blocking.hyperplane_blocks(
             feats,
@@ -270,7 +258,9 @@ def run_pipeline(
         import os as _os
 
         cc = cluster.connected_components(
-            matches, checkpoint_dir=_os.path.join(checkpoint_dir, "cc_rounds")
+            matches,
+            checkpoint_dir=_os.path.join(checkpoint_dir, "cc_rounds"),
+            input_fingerprint=fp,
         )
         cl = cluster.attach_singletons(
             cc, mentions.select(F.col("csid").alias("mention_id"))
