@@ -489,17 +489,43 @@ def q_centroid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 8
+IVF_ITERS = 2
+IVF_REORDER = 20
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate kNN (ScaNN tree-partitioning analogue): seeded Lloyd
-    coarse quantizer, nprobe cell probing, exact re-score. Iterative k-means
-    is not SQL-expressible — the driver records the rows-only check; exact
-    agreement on surfaced candidates + recall bounds are pytest-verified
-    (tests/test_similarity.py)."""
-    from mel_spark.operators.similarity import ivf_topk
+    """IVF approximate kNN (ScaNN tree-partitioning analogue): seeded coarse
+    quantizer (md5-seeded medoid init + DECIMAL-exact Lloyd rounds — the
+    cross-engine-deterministic construction), nprobe cell probing, exact
+    re-score. Fully oracle-matched: the DuckDB twin (_ivf_sql) unrolls the
+    same Lloyd rounds with the same decimal sums, so assignment → probe →
+    re-score hash-matches end to end. The numpy ivf_topk remains the
+    production fitted path (recall-tested in tests/test_similarity.py)."""
+    from mel_spark.operators.similarity import ivf_topk_relational
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, n_cells=16, nprobe=8
+    return ivf_topk_relational(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K,
+        n_cells=IVF_CELLS, nprobe=IVF_NPROBE, iterations=IVF_ITERS, seed=42,
+    )
+
+
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + asymmetric-hashing candidate scoring (the ScaNN
+    anisotropic-quantization analogue, scann_searcher.py:21-49): candidates
+    are first ranked on int8 codes (4× smaller payload; the per-vector scale
+    cancels inside cosine so the approx pass is cosine(q, code)), the top
+    ``IVF_REORDER`` per query survive, and only those are re-scored on full
+    fp32 vectors (reorder precedent: find_recall.py:28-37)."""
+    from mel_spark.operators.similarity import ivf_topk_relational
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_relational(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K,
+        n_cells=IVF_CELLS, nprobe=IVF_NPROBE, iterations=IVF_ITERS, seed=42,
+        quantized=True, reorder=IVF_REORDER,
     )
 
 
@@ -871,23 +897,131 @@ def _tfidf_sql(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
     """
 
 
+def _ivf_sql(
+    k: int = KNN_K,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    iterations: int = IVF_ITERS,
+    seed: int = 42,
+    max_qid: int = KNN_MAX_QID,
+    quantized: bool = False,
+    reorder: int = IVF_REORDER,
+) -> str:
+    """DuckDB twin of similarity.ivf_topk_relational: md5-seeded medoid init,
+    ``iterations`` unrolled Lloyd rounds with DECIMAL-exact per-position
+    centroid sums (order-independent ⇒ bit-identical to Spark's decimal
+    aggregation), cosine assignment with (cos DESC, cell ASC) ties, nprobe
+    probing, optional int8 asymmetric first pass + reorder, exact re-score."""
+    h = f"('0x' || substr(md5(vec_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT"
+    ctes = [
+        f"""init AS (
+          SELECT vec_id, embedding, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+          FROM embeddings
+        )""",
+        f"""cents0 AS (
+          SELECT (rn - 1)::INT AS cell, list_transform(embedding, x -> x::DOUBLE) AS cent
+          FROM init WHERE rn <= {n_cells}
+        )""",
+    ]
+    prev = "cents0"
+    for r in range(1, iterations + 1):
+        ctes.append(
+            f"""mem{r} AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+                FROM (SELECT e.vec_id, c.cell, {O.cosine('e.embedding', 'c.cent')} AS cos
+                      FROM embeddings e, {prev} c))
+              WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""cents{r} AS (
+              SELECT cell, list(s::DOUBLE ORDER BY pos) AS cent FROM (
+                SELECT cell, pos, sum(round(val, 7)::DECIMAL(24,7)) AS s FROM (
+                  SELECT m.cell, t.i AS pos, e.embedding[t.i]::DOUBLE AS val
+                  FROM mem{r} m JOIN embeddings e USING (vec_id),
+                       unnest(range(1, len(e.embedding) + 1)) AS t(i))
+                GROUP BY 1, 2)
+              GROUP BY cell
+            )"""
+        )
+        prev = f"cents{r}"
+    ctes.append(
+        f"""iasg AS (
+          SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+            FROM (SELECT e.vec_id, c.cell, {O.cosine('e.embedding', 'c.cent')} AS cos
+                  FROM embeddings e, {prev} c))
+          WHERE rn = 1
+        )""",
+    )
+    ctes.append(
+        f"""probe AS (
+          SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cell ASC) AS rn
+            FROM (SELECT q.vec_id AS query_id, c.cell, {O.cosine('q.embedding', 'c.cent')} AS cos
+                  FROM embeddings q, {prev} c WHERE q.vec_id < {max_qid}))
+          WHERE rn <= {nprobe}
+        )""",
+    )
+    ctes.append(
+        """cand AS (
+          SELECT DISTINCT p.query_id, i.neighbor_id
+          FROM probe p JOIN iasg i USING (cell)
+          WHERE p.query_id != i.neighbor_id
+        )"""
+    )
+    cand = "cand"
+    if quantized:
+        ctes.append(
+            f"""codes AS (
+              SELECT vec_id AS neighbor_id, {O.int8_codes('embedding')} AS code
+              FROM embeddings
+            )"""
+        )
+        ctes.append(
+            f"""cand_q AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (PARTITION BY c.query_id
+                                          ORDER BY {O.cosine('q.embedding', 'cd.code')} DESC,
+                                                   c.neighbor_id ASC) AS rn
+                FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                            JOIN codes cd USING (neighbor_id))
+              WHERE rn <= {reorder}
+            )"""
+        )
+        cand = "cand_q"
+    ctes.append(
+        f"""scored AS (
+          SELECT c.query_id, c.neighbor_id, {O.cosine('q.embedding', 'i.embedding')} AS cos
+          FROM {cand} c JOIN embeddings q ON c.query_id = q.vec_id
+                        JOIN embeddings i ON c.neighbor_id = i.vec_id
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= {k}"""
+    )
+
+
 def q_er_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION: per near-dup cluster keep one canonical document
-    (longest text, tie → min doc_id) and count what gets dropped — the
-    keep/drop decision a training-data pipeline executes after clustering."""
+    (longest text, tie → min doc_id) and count what gets dropped — delegated
+    to the production operator (dedup.survivor_selection) over the clusters
+    table; jobs/er_job.py --emit-survivors consumes the same operator."""
+    from mel_spark.operators.dedup import survivor_selection
+
     docs = _t(spark, sf_dir, "documents")
     cl = q_er_clusters(spark, sf_dir)
-    j = cl.join(docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .groupBy("cluster_id")
-        .agg(
-            F.min(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("survivor_doc_id"),
-            F.count(F.lit(1)).alias("group_size"),
-            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
-        )
-    )
+    return survivor_selection(cl, docs, id_col="doc_id", text_col="text")
 
 
 SEG_TOKENS = 8
@@ -960,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_broadcast": q_knn_broadcast,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "knn_recall_at_k": q_knn_recall_at_k,
@@ -1110,6 +1245,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
         """,
+        "knn_ivf": _ivf_sql(),
+        "knn_ivf_pq": _ivf_sql(quantized=True),
         "emb_near_dup_lsh": f"""
             WITH blocks AS (
               SELECT vec_id AS doc_id,

@@ -2,12 +2,23 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>, ...}
+   "queries": {...per-query best-of-N sec...}, "repeats": {...all samples...},
+   "sf": <sf>, ...}
 
 Headline set = the flagship ER pipeline stages plus the heaviest operator
-families (kNN retrieval, pricing aggregation, join+topN, sessionization).
-Each query is executed to completion (count() the result — no collect of
-payloads) and timed wall-clock.
+families (kNN retrieval, incremental fold, segment dedup, pricing
+aggregation, join+topN, sessionization). Each query is executed to
+completion (count() the result — no collect of payloads) and timed
+wall-clock.
+
+INTERLEAVED BEST-OF-N (default N=3, $SPARK_GRAFT_BENCH_REPEATS): this box
+shows multi-x hypervisor-steal swings (BENCH/*.md), so a single sample
+confounds host noise with plan regressions. Interleaving the repeats (full
+pass 1..N over all queries, not N back-to-back runs of one query) decorrelates
+a noise burst from any single query; per-query value = min across passes, the
+standard noise-floor estimator. All samples are reported so round-over-round
+comparisons can check the spread, and the per-pass totals expose whole-pass
+interference.
 """
 
 from __future__ import annotations
@@ -22,7 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "er_minhash_pairs",
     "er_clusters",
+    "er_incremental",
     "er_blocking_stats",
+    "ld_segment_dedup",
     "knn_top5",
     "pricing_summary",
     "join_topn_revenue",
@@ -49,14 +62,23 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()
     for t in ("documents", "lineitem", "embeddings", "events", "orders", "customer", "supplier"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
-    timings: dict[str, float] = {}
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    t_all = time.time()
-    for name in HEADLINE:
-        t0 = time.time()
-        rows[name] = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    pass_totals: list[float] = []
+    for _rep in range(n_reps):
+        # queries that persist() intermediates would otherwise hit Spark's
+        # CacheManager on later passes (identical logical plan → reuse) and
+        # the repeats would measure cached re-execution, not throughput
+        spark.catalog.clearCache()
+        t_pass = time.time()
+        for name in HEADLINE:
+            t0 = time.time()
+            rows[name] = qs[name](spark, sf_dir).count()
+            samples[name].append(round(time.time() - t0, 3))
+        pass_totals.append(round(time.time() - t_pass, 3))
+    timings = {name: min(s) for name, s in samples.items()}
+    total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -66,6 +88,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": samples,
+                "pass_totals": pass_totals,
+                "n_repeats": n_reps,
                 "rows": rows,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": int(cpus),

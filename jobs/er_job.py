@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--threshold", type=float, default=None)
     p.add_argument(
+        "--emit-survivors",
+        action="store_true",
+        help="also write <output>/survivors.parquet: the deduplicated corpus "
+        "(per cluster the longest-content mention, tie min id) via "
+        "dedup.select_survivors — the pipeline's training-data output",
+    )
+    p.add_argument(
         "--update-base",
         help="checkpoint dir of a COMPLETED run: incrementally fold the "
         "--input/--synthesize batch into it instead of running from scratch",
@@ -104,6 +111,16 @@ def main(argv: list[str] | None = None) -> int:
         inc["clusters"].select("mention_id", "cluster_id").write.mode(
             "overwrite"
         ).parquet(f"{args.output}/clusters.parquet")
+        n_survivors = None
+        if args.emit_survivors:
+            from mel_spark.operators.dedup import select_survivors
+
+            surv = select_survivors(
+                inc["clusters"], inc["mentions"],
+                id_col="mention_id", text_col="content",
+            )
+            surv.write.mode("overwrite").parquet(f"{args.output}/survivors.parquet")
+            n_survivors = spark.read.parquet(f"{args.output}/survivors.parquet").count()
         from mel_spark.sources.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint)
@@ -123,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
             "elapsed_sec": round(time.time() - t0, 2),
             "stage_sec": stage_times,
         }
+        if n_survivors is not None:
+            metrics["survivors"] = n_survivors
         if gold is not None:
             from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf
 
@@ -150,6 +169,15 @@ def main(argv: list[str] | None = None) -> int:
         except FileNotFoundError:
             pass
     out["clusters"].write.mode("overwrite").parquet(f"{args.output}/clusters.parquet")
+    n_survivors = None
+    if args.emit_survivors:
+        from mel_spark.operators.dedup import select_survivors
+
+        surv = select_survivors(
+            out["clusters"], out["mentions"], id_col="mention_id", text_col="content"
+        )
+        surv.write.mode("overwrite").parquet(f"{args.output}/survivors.parquet")
+        n_survivors = spark.read.parquet(f"{args.output}/survivors.parquet").count()
 
     n_pairs = out["scored"].count()
     elapsed = time.time() - t0
@@ -166,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
             round(n_pairs / stage_times["pairs"], 1) if stage_times.get("pairs") else None
         ),
     }
+    if n_survivors is not None:
+        metrics["survivors"] = n_survivors
     if gold is not None:
         from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf
 

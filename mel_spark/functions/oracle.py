@@ -195,6 +195,15 @@ def cosine(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
+def int8_codes(emb: str) -> str:
+    """Twin of similarity.int8_codes: symmetric per-vector int8 quantization
+    (s = max|v|/127, code = HALF_UP round(v/s)) — both engines round half away
+    from zero, and the division inputs are identical doubles."""
+    mx = f"list_max(list_transform({emb}, x -> abs(x::DOUBLE)))"
+    s = f"greatest({mx} / 127.0, 1e-300)"
+    return f"list_transform({emb}, x -> round(x::DOUBLE / {s}, 0)::INT)"
+
+
 def doc_segments(text: str, seg_tokens: int = 8) -> str:
     toks = tokens(text)
     n_segs = f"greatest(cast(ceil(len({toks}) / {float(seg_tokens)}) AS INT), 1)"

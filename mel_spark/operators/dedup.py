@@ -189,6 +189,60 @@ def embedding_near_dup_pairs(
     )
 
 
+def survivor_selection(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup ACTION a training-data pipeline executes after clustering:
+    per near-dup cluster keep one canonical representative — longest text,
+    tie → min id — and count what gets dropped. Consumes an EXISTING
+    (id, cluster_id) assignment; it never recomputes clustering.
+
+    Returns (cluster_id, survivor_<id_col>, group_size, n_dropped).
+
+    Scale shape: one join keyed on the id + one groupBy(cluster) with
+    min_by over a (-(len), id) struct — a pure aggregation with map-side
+    partial combine, no per-cluster window sort and no arrays (keep/drop for
+    a billion-doc corpus is one shuffle on cluster_id)."""
+    j = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
+    ).join(
+        docs.select(
+            F.col(id_col).alias("_id"), F.length(F.col(text_col)).alias("_n_chars")
+        ),
+        "_id",
+    )
+    # min_by over (-n_chars, id): struct ordering gives longest-text first,
+    # then lexicographic/numeric min id — identical to the windowed
+    # row_number()=1 pick but expressible as a partial-aggregatable min
+    return j.groupBy("cluster_id").agg(
+        F.min_by("_id", F.struct((-F.col("_n_chars")).alias("a"), F.col("_id").alias("b")))
+        .alias(f"survivor_{id_col}"),
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )
+
+
+def select_survivors(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The kept rows themselves: every doc NOT assigned to a cluster plus the
+    per-cluster survivor — the deduplicated corpus a pipeline writes out."""
+    surv = survivor_selection(clusters, docs, id_col, cluster_col, text_col)
+    clustered = clusters.select(F.col(id_col))
+    keep_ids = docs.select(id_col).join(clustered, id_col, "left_anti").unionByName(
+        surv.select(F.col(f"survivor_{id_col}").alias(id_col))
+    )
+    return docs.join(keep_ids.distinct(), id_col, "left_semi")
+
+
 def segment_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -22,8 +22,16 @@ Three regimes, mirroring the reference's searcher hierarchy
                           src/data_processors/index/index.py:122-146), index
                           vectors assigned to their nearest centroid cell,
                           queries probe the nprobe nearest cells, exact
-                          re-score inside. Iterative (k-means) ⇒ not
-                          SQL-expressible; verified by recall tests instead.
+                          re-score inside; ``quantized=True`` adds the int8
+                          asymmetric-hashing first pass + exact reorder
+                          (scann_searcher.py:21-49). Fitted numpy quantizer
+                          ⇒ verified by recall tests.
+ ivf_topk_relational    — the same assign → probe → re-score pipeline with a
+                          cross-engine-deterministic quantizer (md5-seeded
+                          medoids + DECIMAL-exact Lloyd updates), expressed
+                          entirely in Catalyst so the DuckDB oracle twin
+                          hash-matches it end to end (contract entries
+                          knn_ivf / knn_ivf_pq).
 """
 
 from __future__ import annotations
@@ -32,16 +40,45 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     LongType,
     StructField,
     StructType,
 )
 
 from mel_spark.functions import vectors as V
+
+# per-worker-process cache for executor-side index loads (broadcast_knn's
+# index_path mode): keyed by (path, id_col, emb_col); lives for the Python
+# worker's lifetime, so every task on a worker reuses one materialized index
+_INDEX_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _prep_index(ids: np.ndarray, embs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort by id (canonical order — output independent of scan/partition
+    order) and L2-normalize rows."""
+    order = np.argsort(ids, kind="stable")
+    ids = np.ascontiguousarray(ids[order])
+    embs = embs[order]
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, np.ascontiguousarray(embs / norms, dtype=np.float32)
+
+
+def _load_index_cached(path: str, id_col: str, emb_col: str) -> tuple[np.ndarray, np.ndarray]:
+    key = (path, id_col, emb_col)
+    if key not in _INDEX_CACHE:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=[id_col, emb_col])
+        ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        embs = np.stack(tbl.column(emb_col).to_pylist()).astype(np.float32)
+        _INDEX_CACHE[key] = _prep_index(ids, embs)
+    return _INDEX_CACHE[key]
 
 
 def brute_force_topk(
@@ -82,33 +119,86 @@ def broadcast_knn(
     i_emb: str = "embedding",
     exclude_self: bool = True,
     max_index_rows: int = 2_000_000,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Broadcast-index kNN: one NumPy matmul + argpartition per Arrow batch.
 
-    ``index`` is a DataFrame (i_id, i_emb). Its size is guarded by an explicit
-    count (≤ ``max_index_rows``) BEFORE anything is pulled to the driver; the
-    guarded index is then gathered via Spark collect, L2-normalized, and
-    broadcast — never an unguarded full-table toPandas. Indexes beyond the
-    guard belong to lsh_topk (the ScaNN-analogue regime). Emits (query_id,
-    neighbor_ids array<long> ranked). This mirrors the reference's
-    fits-in-memory judgement for BruteForceSearcher vs ScaNN
-    (src/data_processors/index/index.py:16-62).
+    Index delivery, two modes — neither materializes Row objects on the
+    driver:
+
+    * default: the index DataFrame is PACKED executor-side (mapInPandas →
+      one row per Arrow batch holding raw int64/float32 bytes) and the
+      driver gathers only those compact blobs — ~16× less driver memory and
+      allocation churn than a Row collect; still O(index) on the driver, as
+      any SparkContext.broadcast must be.
+    * ``index_path``: executors load the (i_id, i_emb) parquet themselves
+      via pyarrow, cached per worker process — the driver never touches the
+      vectors at all (peak driver memory independent of index size). Point
+      it at the embed checkpoint; ``index`` is then only used for the row
+      guard when provided.
+
+    Both modes sort the index by id and break score ties exactly (all
+    boundary-tied candidates are re-ranked by (cos desc, id asc)), so the
+    output is byte-identical across modes and partitionings. Size is guarded
+    (≤ ``max_index_rows``) BEFORE any gather; beyond the guard use lsh_topk
+    (the ScaNN-analogue regime). Emits (query_id, neighbor_ids array<long>
+    ranked). Mirrors the reference's fits-in-memory judgement for
+    BruteForceSearcher vs ScaNN (src/data_processors/index/index.py:16-62).
     """
     spark = queries.sparkSession
     sc = spark.sparkContext
-    n = index.count()
+    src = spark.read.parquet(index_path) if index_path is not None else index
+    n = src.count()
     if n > max_index_rows:
         raise ValueError(
             f"broadcast_knn: index has {n} rows > max_index_rows={max_index_rows}; "
             "use lsh_topk for indexes that do not fit in executor memory"
         )
-    rows = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb")).collect()
-    ids_arr = np.fromiter((r["_id"] for r in rows), dtype=np.int64, count=len(rows))
-    embs_arr = np.array([r["_emb"] for r in rows], dtype=np.float32)
-    norms = np.linalg.norm(embs_arr, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    b_ids = sc.broadcast(ids_arr)
-    b_embs = sc.broadcast(np.ascontiguousarray(embs_arr / norms, dtype=np.float32))
+
+    if index_path is not None:
+        b_ids = b_embs = None
+        load_args = (index_path, i_id, i_emb)
+    else:
+        pack_schema = StructType(
+            [
+                StructField("ids", BinaryType()),
+                StructField("embs", BinaryType()),
+                StructField("n", LongType()),
+            ]
+        )
+
+        def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["_id"].to_numpy(dtype=np.int64)
+                embs = np.stack(pdf["_emb"].to_numpy()).astype(np.float32)
+                yield pd.DataFrame(
+                    {
+                        "ids": [ids.tobytes()],
+                        "embs": [np.ascontiguousarray(embs).tobytes()],
+                        "n": [len(ids)],
+                    }
+                )
+
+        blobs = (
+            index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
+            .mapInPandas(_pack, pack_schema)
+            .collect()
+        )
+        ids_arr = np.concatenate(
+            [np.frombuffer(r["ids"], dtype=np.int64) for r in blobs]
+        ) if blobs else np.empty(0, dtype=np.int64)
+        embs_arr = np.concatenate(
+            [
+                np.frombuffer(r["embs"], dtype=np.float32).reshape(r["n"], -1)
+                for r in blobs
+            ]
+        ) if blobs else np.empty((0, 0), dtype=np.float32)
+        ids_arr, embs_arr = _prep_index(ids_arr, embs_arr)
+        b_ids = sc.broadcast(ids_arr)
+        b_embs = sc.broadcast(embs_arr)
+        load_args = None
 
     schema = StructType(
         [
@@ -118,10 +208,13 @@ def broadcast_knn(
     )
 
     def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids = b_ids.value
+        if load_args is not None:
+            ids, embs32 = _load_index_cached(*load_args)
+        else:
+            ids, embs32 = b_ids.value, b_embs.value
         # rank in float64 rounded to 6dp so the ordering matches the exact
         # column-expression scorer (ties then break by neighbor id)
-        embs = b_embs.value.astype(np.float64)
+        embs = embs32.astype(np.float64)
         for pdf in batches:
             q = np.stack(pdf[q_emb].to_numpy()).astype(np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
@@ -142,9 +235,13 @@ def broadcast_knn(
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = []
             for r in range(sims.shape[0]):
-                cand = part[r]
-                # exact order within the top-k slice; ties by neighbor id
-                order = np.lexsort((ids[cand], -sims[r, cand]))
+                # widen the candidate set to EVERYTHING tied with the k-th
+                # score, then rank (cos desc, id asc) — the k survivors are
+                # exact regardless of index array order / argpartition's
+                # unspecified equal-element choice
+                kth = sims[r, part[r]].min()
+                cand = np.nonzero(sims[r] >= kth)[0]
+                order = np.lexsort((ids[cand], -sims[r, cand]))[:kk]
                 rows.append(ids[cand[order]].tolist())
             yield pd.DataFrame({"query_id": qids, "neighbor_ids": rows})
 
@@ -232,11 +329,23 @@ def ivf_topk(
     i_emb: str = "embedding",
     iterations: int = 3,
     seed: int = 42,
+    quantized: bool = False,
+    reorder: int = 1000,
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means cells → queries probe their
     ``nprobe`` nearest cells → candidate equi-join on cell id → exact cosine
     re-score → ranked window. Output matches brute force on every candidate
     it surfaces (same cos/rank semantics); recall < 1 by construction.
+
+    ``quantized=True`` inserts the ScaNN asymmetric-hashing first pass
+    (src/models/searchers/scann_searcher.py:21-49): candidates are scored
+    against int8 codes shipped as 64-byte binaries (EXACTLY ¼ of the fp32
+    vector payload — at 100 TB the candidate join moves codes, not vectors),
+    the top ``reorder`` per query survive (reorder=1000 tuning precedent,
+    src/finetunings/evaluation/find_recall.py:28-37), and only the survivors
+    join the full fp32 vectors for the exact re-score. Per-vector scale
+    cancels inside cosine, so the approx ranking is cosine(q, dequant(code))
+    without ever materializing the dequantized vector.
 
     Scale shape: the only broadcast is the (n_cells × d) centroid matrix;
     candidates come from a cell-id equi-join, never all-pairs."""
@@ -286,11 +395,81 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = (
-        cand.join(
-            queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb")),
-            "query_id",
+    q_side = queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb"))
+    if quantized:
+        code_schema = StructType(
+            [StructField("neighbor_id", LongType()), StructField("code", BinaryType())]
         )
+
+        def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(pdf["_emb"].to_numpy()).astype(np.float64)
+                mx = np.abs(v).max(axis=1, keepdims=True)
+                s = np.maximum(mx / 127.0, 1e-300)
+                r = v / s
+                code = np.where(r >= 0, np.floor(r + 0.5), np.ceil(r - 0.5)).astype(
+                    np.int8
+                )
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["_id"].to_numpy(),
+                        "code": [c.tobytes() for c in code],
+                    }
+                )
+
+        codes = index.select(
+            F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb")
+        ).mapInPandas(_encode, code_schema)
+
+        from pyspark.sql.types import DoubleType
+
+        approx_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("acos", DoubleType()),
+            ]
+        )
+
+        def _ascore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
+                c = np.stack(
+                    [np.frombuffer(b, dtype=np.int8) for b in pdf["code"]]
+                ).astype(np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                cn = np.linalg.norm(c, axis=1)
+                raw = (q * c).sum(axis=1) / np.maximum(qn * cn, 1e-300)
+                # HALF_UP 6dp, matching the exact scorer's rounding discipline
+                acos = np.where(
+                    raw >= 0, np.floor(raw * 1e6 + 0.5), np.ceil(raw * 1e6 - 0.5)
+                ) / 1e6
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "acos": acos,
+                    }
+                )
+
+        approx = (
+            cand.join(q_side, "query_id")
+            .join(codes, "neighbor_id")
+            .select("query_id", "neighbor_id", "q_emb", "code")
+            .mapInPandas(_ascore, approx_schema)
+        )
+        w_re = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("neighbor_id"))
+        cand = (
+            approx.withColumn("_rn", F.row_number().over(w_re))
+            .filter(F.col("_rn") <= reorder)
+            .select("query_id", "neighbor_id")
+        )
+    scored = (
+        cand.join(q_side, "query_id")
         .join(
             index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb")),
             "neighbor_id",
@@ -303,6 +482,163 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def _md5_seed_hash(col: Column, seed: int) -> Column:
+    """60-bit int from md5(id:seed) — the cross-engine-deterministic seeded
+    sample used for centroid init (DuckDB twin inlined in __spark_entry__)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{seed}"))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def _ivf_assign_relational(vecs: DataFrame, cents: DataFrame, id_out: str) -> DataFrame:
+    """(id_out, cell): nearest centroid by cosine (ties → lowest cell), as a
+    broadcast nested-loop join + partial-aggregatable max_by — the relational
+    form of 'broadcast the (cells × d) matrix and matmul'."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", V.cosine(F.col("_emb"), F.col("cent"))
+    )
+    return scored.groupBy(F.col("_id").alias(id_out)).agg(
+        F.max_by(
+            "cell", F.struct(F.col("_cos").alias("a"), (-F.col("cell")).alias("b"))
+        ).alias("cell")
+    )
+
+
+def _ivf_update_relational(vecs: DataFrame, members: DataFrame) -> DataFrame:
+    """(cell, cent array<double>): DECIMAL-exact per-position sums of member
+    vectors (cosine is scale-invariant, so the un-normalized sum ranks
+    identically to the mean — and exact decimal addition is order-independent,
+    the same cross-engine trick as aggregates.embedding_centroid)."""
+    ex = (
+        members.join(vecs, members["_mid"] == vecs["_id"])
+        .select("cell", F.posexplode("_emb").alias("pos", "_v"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(F.round(F.col("_v").cast("double"), 7).cast("decimal(24,7)")).alias("s")
+        )
+    )
+    return ex.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st.getField("s").cast("double"),
+        ).alias("cent")
+    )
+
+
+def ivf_topk_relational(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    q_id: str = "vec_id",
+    q_emb: str = "embedding",
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+    iterations: int = 2,
+    seed: int = 42,
+    quantized: bool = False,
+    reorder: int = 50,
+) -> DataFrame:
+    """IVF top-k expressed ENTIRELY in Catalyst, with a cross-engine-
+    deterministic coarse quantizer — the oracle-matchable twin of ivf_topk
+    (same assign → probe → re-score shape; DuckDB SQL twin assembled in
+    __spark_entry__._ivf_sql):
+
+     * init: the ``n_cells`` index vectors with the smallest md5(id:seed)
+       hashes become cell medoids (TakeOrderedAndProject — no global sort),
+     * ``iterations`` Lloyd rounds: assign by cosine (broadcast nested-loop
+       join + max_by, ties → lowest cell), update by DECIMAL-exact
+       per-position sums (order-independent ⇒ bit-identical across engines
+       and partitionings; cosine's scale-invariance makes the un-normalized
+       sum equivalent to the mean),
+     * queries probe their ``nprobe`` best cells, candidates come from the
+       cell equi-join, exact cosine re-score, rank ≤ k.
+
+    ``quantized=True`` adds the ScaNN asymmetric-hashing analogue
+    (src/models/searchers/scann_searcher.py:21-49): candidates are FIRST
+    scored against int8 codes (per-vector symmetric scale s = max|v|/127,
+    code = round(v/s) — 4× smaller candidate payload than fp32), the top
+    ``reorder`` per query by code-cosine survive (per-vector scale cancels
+    inside cosine, so the approx pass is exactly cosine(q, code)), and only
+    the survivors are re-scored on full vectors (reorder=1000 tuning
+    precedent: src/finetunings/evaluation/find_recall.py:28-37)."""
+    vecs_i = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
+    init = (
+        vecs_i.withColumn("_h", _md5_seed_hash(F.col("_id"), seed))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+    )
+    w_init = Window.orderBy("_h", "_id")
+    cents = (
+        init.withColumn("cell", (F.row_number().over(w_init) - 1).cast("int"))
+        .select("cell", F.transform("_emb", lambda x: x.cast("double")).alias("cent"))
+    )
+    for _ in range(iterations):
+        members = _ivf_assign_relational(vecs_i, cents, "_mid")
+        cents = _ivf_update_relational(vecs_i, members)
+
+    i_cells = _ivf_assign_relational(vecs_i, cents, "neighbor_id")
+    vecs_q = queries.select(F.col(q_id).alias("_id"), F.col(q_emb).alias("_emb"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cell"))
+    q_cells = (
+        vecs_q.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", V.cosine(F.col("_emb"), F.col("cent")))
+        .select(F.col("_id").alias("query_id"), "cell", "_cos")
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        q_cells.join(i_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_side = queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb"))
+    if quantized:
+        codes = index.select(
+            F.col(i_id).alias("neighbor_id"),
+            int8_codes(F.col(i_emb)).alias("code"),
+        )
+        approx = (
+            cand.join(q_side, "query_id")
+            .join(codes, "neighbor_id")
+            .withColumn("acos", V.cosine(F.col("q_emb"), F.col("code")))
+        )
+        w_re = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("neighbor_id"))
+        cand = (
+            approx.withColumn("_rn", F.row_number().over(w_re))
+            .filter(F.col("_rn") <= reorder)
+            .select("query_id", "neighbor_id")
+        )
+    scored = (
+        cand.join(q_side, "query_id")
+        .join(
+            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb")),
+            "neighbor_id",
+        )
+        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def int8_codes(emb: Column) -> Column:
+    """Symmetric per-vector int8 quantization: s = max|v|/127, code_j =
+    HALF_UP round(v_j / s) — an array<int> of values in [-127, 127] (4× less
+    candidate payload than fp32 when stored as tinyint/byte). Expressed in
+    Catalyst so the DuckDB twin (O.int8_codes) is byte-identical."""
+    mx = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    s = F.greatest(mx / F.lit(127.0), F.lit(1e-300))
+    return F.transform(emb, lambda x: F.round(x.cast("double") / s, 0).cast("int"))
 
 
 def lsh_topk(

@@ -67,8 +67,19 @@ class ERConfig:
     seed: int = 42
 
 
-def ingest(repos: DataFrame) -> DataFrame:
+def ingest(
+    repos: DataFrame,
+    redirects: DataFrame | None = None,
+    redirect_col: str = "repo",
+) -> DataFrame:
     """Stage 1: mention_id = sha256(repo||path||commit); content_sha invariant.
+
+    ``redirects`` (old_entity_id, new_entity_id) optionally decorates the
+    source read with the broadcast redirect remap — the reference applies its
+    QID remap inside EVERY loader (src/utils/loaders.py:37-56,
+    src/utils/qids_remap.py:28-55), so redirected entity ids are normalized
+    BEFORE any identity (mention_id/mid/csid) is derived and a redirected
+    repo's mentions land in the target entity's clusters.
 
     Columns are cast to the contract schema (input_hint: all string) so
     schema-drifted sources (e.g. an empty parquet with inferred types) fail
@@ -84,6 +95,10 @@ def ingest(repos: DataFrame) -> DataFrame:
     same plan shape, double key width."""
     repos = repos.select(*[F.col(c).cast("string").alias(c) for c in
                            ("repo", "path", "commit", "lang", "content")])
+    if redirects is not None:
+        from mel_spark.operators.remap import remap_ids
+
+        repos = remap_ids(repos, redirects, redirect_col)
     return (
         repos.select(
             F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("mention_id"),
@@ -216,13 +231,17 @@ def run_pipeline(
     checkpoint_dir: str,
     cfg: ERConfig = ERConfig(),
     input_token: str = "",
+    redirects: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full resumable run; returns every stage DataFrame keyed by stage name.
 
     ``input_token`` identifies the input (path / synth spec); it is hashed
     with the full ERConfig into each stage's checkpoint fingerprint, so a
     rerun against the same --checkpoint dir with a different threshold or
-    input recomputes instead of serving stale stages."""
+    input recomputes instead of serving stale stages. When passing
+    ``redirects`` (entity-id redirect table applied at ingest), include its
+    identity (path/version) in ``input_token`` so a changed redirect table
+    invalidates the checkpoints."""
     import hashlib
     import json
     from dataclasses import asdict
@@ -232,7 +251,8 @@ def run_pipeline(
     ).hexdigest()
     ckpt = CheckpointManager(checkpoint_dir)
     mentions, _ = ckpt.get_or_compute(
-        "ingest", spark, lambda: ingest(repos), partition_by=["lang"], fingerprint=fp
+        "ingest", spark, lambda: ingest(repos, redirects=redirects),
+        partition_by=["lang"], fingerprint=fp,
     )
     feats, _ = ckpt.get_or_compute(
         "embed", spark, lambda: embed_stage(mentions, cfg), fingerprint=fp

@@ -102,3 +102,39 @@ def test_segment_dedup_token_mode_counts_within_doc_repeats(spark):
     }
     assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 2
     assert out[2]["n_dup_segments"] == 0
+
+
+def test_survivor_selection(spark, docs):
+    # cluster {1,2,3} (1's text ties with 2 at same length; 3 has same token
+    # count but different last word) + singleton cluster {6}
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (6, 60)], ["doc_id", "cluster_id"]
+    )
+    surv = {
+        r["cluster_id"]: (r["survivor_doc_id"], r["group_size"], r["n_dropped"])
+        for r in dedup.survivor_selection(clusters, docs, "doc_id").collect()
+    }
+    # docs 1/2/3 all have equal char length -> tie broken by min doc_id
+    assert surv[10] == (1, 3, 2)
+    assert surv[60] == (6, 1, 0)
+
+
+def test_survivor_selection_prefers_longest(spark):
+    docs2 = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer text body"), (3, "mid length")],
+        ["doc_id", "text"],
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], ["doc_id", "cluster_id"])
+    row = dedup.survivor_selection(clusters, docs2, "doc_id").collect()[0]
+    assert row["survivor_doc_id"] == 2 and row["n_dropped"] == 2
+
+
+def test_select_survivors(spark, docs):
+    # docs 4,5 unclustered -> always kept; cluster {1,2,3} keeps min-id 1
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (6, 60)], ["doc_id", "cluster_id"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.select_survivors(clusters, docs, "doc_id").collect()
+    )
+    assert kept == [1, 4, 5, 6]

@@ -80,3 +80,30 @@ def test_embedding_deterministic_across_parallelism(spark, pipeline_run):
     assert j.count() == out["embedded"].count()
     diff = j.filter(F.to_json("emb") != F.to_json("emb2")).count()
     assert diff == 0
+
+
+def test_ingest_redirect_decoration(spark):
+    """S5 semantics: the redirect remap decorates the source read, so a
+    redirected entity id is normalized BEFORE mention identity is derived —
+    mentions arriving under the old id land in the remapped entity's rows
+    (reference decorates every loader, src/utils/loaders.py:37-56)."""
+    from mel_spark.pipeline import ingest
+
+    repos = spark.createDataFrame(
+        [
+            ("org/old-name", "a.py", "c1", "python", "x = 1"),
+            ("org/new-name", "a.py", "c1", "python", "x = 1"),
+            ("org/other", "b.py", "c2", "python", "y = 2"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    redirects = spark.createDataFrame(
+        [("org/old-name", "org/new-name")], ["old_entity_id", "new_entity_id"]
+    )
+    out = ingest(repos, redirects=redirects).collect()
+    repos_seen = {r["repo"] for r in out}
+    assert repos_seen == {"org/new-name", "org/other"}
+    # identity derived AFTER the remap: the old-name and new-name rows now
+    # have the SAME mention_id (and collapse into one entity downstream)
+    mids = {r["mention_id"] for r in out if r["repo"] == "org/new-name"}
+    assert len(mids) == 1
