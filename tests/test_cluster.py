@@ -131,3 +131,28 @@ def test_matches_gold_partition(spark, tiny_tables):
     assert joined.groupBy("entity_id").agg(F.countDistinct("cluster_id").alias("n")).filter(
         "n > 1"
     ).count() == 0
+
+
+def test_stale_state_discarded_on_fingerprint_mismatch(spark, tmp_path):
+    """Rerunning into the same checkpoint dir with a DIFFERENT input
+    fingerprint must discard the saved rounds and recompute — not resume
+    from the previous input's converged edges (which silently emits stale
+    components)."""
+    ckpt = str(tmp_path / "cc")
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["mention_id_a", "mention_id_b"]
+    )
+    got1 = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(e1, checkpoint_dir=ckpt, input_fingerprint="fp1").collect()
+    }
+    assert got1 == {"b": "a", "c": "a", "a": "a"}
+    # different edge set, SAME dir, new fingerprint: must reflect e2 only
+    e2 = spark.createDataFrame(
+        [("x", "y"), ("y", "z")], ["mention_id_a", "mention_id_b"]
+    )
+    got2 = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(e2, checkpoint_dir=ckpt, input_fingerprint="fp2").collect()
+    }
+    assert got2 == {"y": "x", "z": "x", "x": "x"}, got2

@@ -169,3 +169,38 @@ def test_empty_batch_is_identity(spark, tmp_path):
         spark, str(tmp_path / "base"), empty, checkpoint_dir=str(tmp_path / "f0")
     )
     _assert_same_clusters(inc["clusters"], base["clusters"])
+
+
+def test_probe_keys_salting_consistent(spark):
+    """The hot-key salt applied to BOTH probe sides: (1) below the threshold
+    the salted probe is identical to the raw probe; (2) on a hot key the
+    output is a subset of the raw probe (bounded recall trade), and members
+    whose (block_key, member) salts agree still meet."""
+    from mel_spark.operators.incremental import probe_keys
+
+    hot = 7_000_000_000
+    base = spark.createDataFrame(
+        [(hot, i) for i in range(40)] + [(42, 1000), (42, 1001)],
+        ["block_key", "mention_id"],
+    )
+    delta = spark.createDataFrame(
+        [(hot, 500), (42, 2000)], ["block_key", "mention_id"]
+    )
+    raw = {
+        (r["mention_id_a"], r["mention_id_b"])
+        for r in probe_keys(delta, base).collect()
+    }
+    same = {
+        (r["mention_id_a"], r["mention_id_b"])
+        for r in probe_keys(delta, base, salt_threshold=100).collect()
+    }
+    assert same == raw  # no key above threshold -> identical
+    salted = {
+        (r["mention_id_a"], r["mention_id_b"])
+        for r in probe_keys(delta, base, salt_threshold=10, n_salts=4).collect()
+    }
+    assert salted <= raw
+    # the cold key (42) is untouched by salting
+    assert (1000, 2000) in salted and (1001, 2000) in salted
+    # the hot-key probe survives for sub-block co-residents (recall > 0)
+    assert any(a != 500 and b == 500 or a == 500 for a, b in salted - {(1000, 2000), (1001, 2000)})
