@@ -204,3 +204,40 @@ def test_probe_keys_salting_consistent(spark):
     assert (1000, 2000) in salted and (1001, 2000) in salted
     # the hot-key probe survives for sub-block co-residents (recall > 0)
     assert any(a != 500 and b == 500 or a == 500 for a, b in salted - {(1000, 2000), (1001, 2000)})
+
+
+def test_fold_into_pre_block_index_base(spark, tmp_path):
+    """A base checkpoint produced before the durable block_index stage existed
+    (ingest/embed/clusters only) must still fold correctly: the probe keys
+    fall back to re-deriving the base band keys from the features in hand."""
+    import shutil
+
+    tables = generate_repos(GenConfig(n_files=300, seed=11))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10)) < 7
+    batch_a, batch_b = repos.filter(in_a), repos.filter(~in_a)
+
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    base = str(tmp_path / "base")
+    run_pipeline(spark, batch_a, base)
+    # simulate the old layout: drop the durable block index from the base
+    shutil.rmtree(f"{base}/block_index", ignore_errors=True)
+    import os
+
+    os.remove(f"{base}/block_index._MARKER.json")
+    inc = incremental_update(
+        spark, base, batch_b, checkpoint_dir=str(tmp_path / "inc")
+    )
+    _assert_same_clusters(inc["clusters"], full["clusters"])
+
+
+def test_fold_into_own_base_rejected(spark, tmp_path):
+    """checkpoint_dir == base_checkpoint corrupts the base (self-referential
+    parent; stale full 'clusters' marker shadows clusters_delta) — must be
+    rejected up front."""
+    tables = generate_repos(GenConfig(n_files=60, seed=3))
+    repos = spark.createDataFrame(tables["repos"])
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos, base)
+    with pytest.raises(ValueError, match="must differ"):
+        incremental_update(spark, base, repos, checkpoint_dir=base)

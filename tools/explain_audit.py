@@ -25,6 +25,8 @@ AUDIT = [
     "knn_top5",
     "knn_broadcast",
     "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_pq",
     "emb_near_dup_lsh",
     "emb_centroid",
     "hard_negatives",
