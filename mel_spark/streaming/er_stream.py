@@ -1,0 +1,97 @@
+"""Streaming ER ingest: fold arriving repo batches into a completed run.
+
+The reference's pipelines are rerun-from-scratch batch jobs (stage markers,
+src/scripts/train/all_langs_no_slurm.sh:49-116); the incremental operator
+(operators/incremental.py) already makes a single fold O(batch). This module
+closes the loop for CONTINUOUS arrival: a Structured Streaming source of
+(repo, path, commit, lang, content) rows is consumed micro-batch by
+micro-batch, each batch folded with ``incremental_update`` into a chain of
+fold checkpoints.
+
+Why foreachBatch and not a stateful streaming operator: a fold needs arbitrary
+batch DataFrame ops (anti-joins against the corpus, LSH self-joins, iterative
+connected components) — far beyond what applyInPandasWithState's
+per-key-state contract can express. foreachBatch is Structured Streaming's
+sanctioned escape hatch for exactly this: the stream gives AT-LEAST-ONCE
+micro-batches + offset tracking, and the fold layer makes redelivery
+harmless (idempotent re-sends are anti-joined away by mention_id, and each
+fold dir is fingerprinted by (epoch, config, base), so a replayed epoch
+re-folds into the SAME dir instead of forking the chain).
+
+Durable state per epoch is O(batch) (delta checkpoints + parent pointer);
+``compact_every`` bounds chain depth by periodically materializing the full
+tables — the parquet analogue of Iceberg snapshot compaction.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from mel_spark.operators.incremental import compact_checkpoint, incremental_update
+from mel_spark.pipeline import ERConfig
+
+
+@dataclass
+class StreamingFoldState:
+    """Tracks the head of the fold chain across epochs (driver-side, tiny)."""
+
+    base_checkpoint: str
+    fold_root: str
+    cfg: ERConfig = field(default_factory=ERConfig)
+    compact_every: int = 0  # 0 = never compact
+    head: str | None = None  # latest fold dir (chain head); None = base only
+    epochs_folded: int = 0
+
+    def current_base(self) -> str:
+        return self.head or self.base_checkpoint
+
+
+def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int) -> dict:
+    """Fold ONE micro-batch into the chain. Returns the fold's stage dict
+    (clusters = full updated assignment). Designed as a foreachBatch body:
+
+        query = (stream.writeStream
+                 .foreachBatch(lambda df, eid: fold_micro_batch(state, df, eid))
+                 .option("checkpointLocation", offsets_dir).start())
+
+    Epoch replays (at-least-once delivery) land in the SAME fold dir — the
+    stage fingerprints include the epoch id, so a replayed epoch resumes its
+    own green delta stages instead of forking or double-counting."""
+    if batch.isEmpty():
+        return {}
+    fold_dir = os.path.join(state.fold_root, f"epoch_{epoch_id:012d}")
+    out = incremental_update(
+        batch.sparkSession,
+        state.current_base(),
+        batch,
+        state.cfg,
+        checkpoint_dir=fold_dir,
+        input_token=f"epoch:{epoch_id}",
+    )
+    state.head = fold_dir
+    state.epochs_folded += 1
+    if state.compact_every and state.epochs_folded % state.compact_every == 0:
+        compact_checkpoint(batch.sparkSession, fold_dir)
+    return out
+
+
+def start_er_stream(
+    stream: DataFrame,
+    state: StreamingFoldState,
+    offsets_dir: str,
+    trigger_once: bool = False,
+):
+    """Wire a streaming repos source into the fold chain. ``offsets_dir`` is
+    the Structured Streaming checkpoint (source offsets / epoch ids) — kept
+    SEPARATE from the fold checkpoints, which hold the data-level state.
+    ``trigger_once`` drains what is available and stops (the batch-job-shaped
+    deployment: run from cron, fold everything new, exit)."""
+    writer = stream.writeStream.foreachBatch(
+        lambda df, eid: fold_micro_batch(state, df, eid)
+    ).option("checkpointLocation", offsets_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -77,3 +77,45 @@ def test_streaming_dedup_drops_watermark_duplicates(spark, events_batch, tmp_pat
     n_ids = events_batch.select("event_id").distinct().count()
     assert got.count() == n_ids
     assert got.select("event_id").distinct().count() == n_ids
+
+
+def test_streaming_er_ingest_converges_to_full_run(spark, tmp_path):
+    """Repo rows arriving on a stream, folded micro-batch by micro-batch
+    (foreachBatch + incremental_update), must end at the SAME cluster
+    assignment as one from-scratch run over everything — the streaming form
+    of the fold-equals-full-run contract."""
+    from mel_spark.datagen import GenConfig, generate_repos
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, start_er_stream
+    from mel_spark.operators.incremental import read_clusters_chain
+
+    tables = generate_repos(GenConfig(n_files=300, seed=13))
+    repos = spark.createDataFrame(tables["repos"])
+    shard = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10))
+    base_rows = repos.filter(shard < 6)
+    stream_rows = repos.filter(shard >= 6)
+    assert stream_rows.count() > 0
+
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    base = str(tmp_path / "base")
+    run_pipeline(spark, base_rows, base)
+
+    # two parquet files in the source dir + maxFilesPerTrigger=1 → two epochs
+    src = f"{tmp_path}/src"
+    stream_rows.filter(shard.isin(6, 7)).coalesce(1).write.mode("overwrite").parquet(src)
+    stream_rows.filter(shard.isin(8, 9)).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(stream_rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = StreamingFoldState(base_checkpoint=base, fold_root=str(tmp_path / "folds"))
+    q = start_er_stream(stream, state, offsets_dir=str(tmp_path / "offsets"), trigger_once=True)
+    q.awaitTermination(300)
+
+    assert state.epochs_folded >= 2  # the chain really advanced per epoch
+    got = read_clusters_chain(spark, state.current_base())
+    want = full["clusters"].select("mention_id", "cluster_id")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
