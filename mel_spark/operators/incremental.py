@@ -42,6 +42,10 @@ plus a parent pointer to the base dir (the parquet analogue of an Iceberg
 APPEND + a small overwrite). Full tables are reconstructed through the chain
 (read_stage_chain / read_clusters_chain); ``compact_checkpoint`` periodically
 collapses a long chain back into materialized tables.
+
+For CONTINUOUS arrival, streaming/er_stream.py drives this operator from a
+Structured Streaming source (one fold per micro-batch epoch,
+replay-idempotent via epoch-fingerprinted fold dirs).
 """
 
 from __future__ import annotations
@@ -130,7 +134,16 @@ def compact_checkpoint(spark: SparkSession, ckpt_dir: str) -> None:
 
     mgr = CheckpointManager(ckpt_dir)
     for stage in ("ingest", "embed", "block_index"):
-        mgr.write(stage, read_stage_chain(spark, ckpt_dir, stage))
+        try:
+            full = read_stage_chain(spark, ckpt_dir, stage)
+        except FileNotFoundError:
+            # a chain rooted in a pre-block_index base has no full index to
+            # materialize; folds onto the compacted dir re-derive base keys
+            # from features (incremental_update's documented fallback)
+            if stage == "block_index":
+                continue
+            raise
+        mgr.write(stage, full)
     mgr.write("clusters", read_clusters_chain(spark, ckpt_dir))
     parent = _os.path.join(ckpt_dir, PARENT_FILE)
     if _os.path.exists(parent):

@@ -34,19 +34,49 @@ from mel_spark.operators.incremental import compact_checkpoint, incremental_upda
 from mel_spark.pipeline import ERConfig
 
 
+def _head_path(fold_root: str) -> str:
+    return os.path.join(fold_root, "_HEAD.json")
+
+
 @dataclass
 class StreamingFoldState:
-    """Tracks the head of the fold chain across epochs (driver-side, tiny)."""
+    """Tracks the head of the fold chain across epochs.
+
+    The head is DURABLE (``fold_root/_HEAD.json``, written atomically after
+    each fold): a cron-shaped job's next invocation resumes the chain from
+    the last fold, not the base — without this, new arrivals would fold into
+    the base and orphan every earlier fold's state. ``fold_root`` and the
+    stream's offsets checkpoint are one logical unit: keep or delete them
+    together (offsets without the head re-deliver epochs the chain already
+    contains; the head without offsets re-labels epoch ids)."""
 
     base_checkpoint: str
     fold_root: str
     cfg: ERConfig = field(default_factory=ERConfig)
     compact_every: int = 0  # 0 = never compact
     head: str | None = None  # latest fold dir (chain head); None = base only
-    epochs_folded: int = 0
+    epochs_folded: int = 0  # this invocation only
+
+    def __post_init__(self) -> None:
+        import json as _json
+
+        if self.head is None and os.path.exists(_head_path(self.fold_root)):
+            with open(_head_path(self.fold_root)) as f:
+                self.head = _json.load(f)["head"]
 
     def current_base(self) -> str:
         return self.head or self.base_checkpoint
+
+    def _advance(self, fold_dir: str) -> None:
+        import json as _json
+
+        os.makedirs(self.fold_root, exist_ok=True)
+        tmp = _head_path(self.fold_root) + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"head": fold_dir}, f)
+        os.replace(tmp, _head_path(self.fold_root))  # atomic
+        self.head = fold_dir
+        self.epochs_folded += 1
 
 
 def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int) -> dict:
@@ -63,6 +93,12 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
     if batch.isEmpty():
         return {}
     fold_dir = os.path.join(state.fold_root, f"epoch_{epoch_id:012d}")
+    if fold_dir == state.current_base():
+        # crash window: the fold completed and _HEAD.json advanced, but the
+        # stream's offsets checkpoint didn't commit — the epoch is
+        # re-delivered although its fold (all delta stages) is already green
+        # and is the chain head. Nothing to do.
+        return {}
     out = incremental_update(
         batch.sparkSession,
         state.current_base(),
@@ -71,8 +107,7 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
         checkpoint_dir=fold_dir,
         input_token=f"epoch:{epoch_id}",
     )
-    state.head = fold_dir
-    state.epochs_folded += 1
+    state._advance(fold_dir)
     if state.compact_every and state.epochs_folded % state.compact_every == 0:
         compact_checkpoint(batch.sparkSession, fold_dir)
     return out

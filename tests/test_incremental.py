@@ -241,3 +241,30 @@ def test_fold_into_own_base_rejected(spark, tmp_path):
     run_pipeline(spark, repos, base)
     with pytest.raises(ValueError, match="must differ"):
         incremental_update(spark, base, repos, checkpoint_dir=base)
+
+
+def test_compact_pre_block_index_chain(spark, tmp_path):
+    """compact_checkpoint over a chain rooted in a pre-block_index base must
+    not crash: it materializes ingest/embed/clusters, skips the absent index
+    (future folds use the feature-derived fallback), and the compacted dir
+    still reads the correct full assignment."""
+    import os
+    import shutil
+
+    from mel_spark.operators.incremental import compact_checkpoint, read_clusters_chain
+
+    tables = generate_repos(GenConfig(n_files=200, seed=5))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10)) < 7
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(in_a), base)
+    shutil.rmtree(f"{base}/block_index", ignore_errors=True)
+    os.remove(f"{base}/block_index._MARKER.json")
+
+    inc_dir = str(tmp_path / "inc")
+    incremental_update(spark, base, repos.filter(~in_a), checkpoint_dir=inc_dir)
+    before = read_clusters_chain(spark, inc_dir).collect()
+    compact_checkpoint(spark, inc_dir)
+    assert not os.path.exists(f"{inc_dir}/_PARENT.json")
+    after = read_clusters_chain(spark, inc_dir).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

@@ -119,3 +119,44 @@ def test_streaming_er_ingest_converges_to_full_run(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_er_head_persists_across_invocations(spark, tmp_path):
+    """Cron-shaped deployment: a SECOND job invocation (fresh
+    StreamingFoldState) must resume the chain from the last fold — new
+    arrivals chain onto the previous invocation's folds, never back onto the
+    base (which would orphan them)."""
+    from mel_spark.datagen import GenConfig, generate_repos
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, start_er_stream
+    from mel_spark.operators.incremental import read_clusters_chain
+
+    tables = generate_repos(GenConfig(n_files=240, seed=17))
+    repos = spark.createDataFrame(tables["repos"])
+    shard = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10))
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard < 6), base)
+
+    src = f"{tmp_path}/src"
+    schema = repos.schema
+
+    def invoke():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        st = StreamingFoldState(base_checkpoint=base, fold_root=str(tmp_path / "folds"))
+        q = start_er_stream(stream, st, offsets_dir=str(tmp_path / "off"), trigger_once=True)
+        q.awaitTermination(300)
+        return st
+
+    repos.filter(shard.isin(6, 7)).coalesce(1).write.mode("overwrite").parquet(src)
+    st1 = invoke()
+    assert st1.epochs_folded == 1
+    # second invocation, later arrivals — fresh state must resume from st1's head
+    repos.filter(shard.isin(8, 9)).coalesce(1).write.mode("append").parquet(src)
+    st2 = invoke()
+    assert st2.epochs_folded == 1
+    assert st2.current_base() != base and st2.current_base() != st1.current_base()
+
+    got = read_clusters_chain(spark, st2.current_base())
+    want = full["clusters"].select("mention_id", "cluster_id")
+    assert got.count() == want.count() and got.exceptAll(want).count() == 0
