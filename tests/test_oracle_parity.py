@@ -115,3 +115,30 @@ def test_segment_and_gopher_primitives_parity(spark, con, sf_dir):
         """
     ).df()
     _pairs_equal(sdf, ddf, ["segs", "mwl", "dtr"])
+
+
+def test_int8_codes_and_seed_hash_parity(spark, con, sf_dir):
+    """Round-3 primitives: symmetric int8 quantization codes and the
+    md5-seeded init hash (the IVF oracle's centroid sampler) must be
+    byte-identical across engines."""
+    from mel_spark.operators.similarity import _md5_seed_hash, int8_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sdf = (
+        emb.select(
+            "vec_id",
+            int8_codes(F.col("embedding")).alias("code"),
+            _md5_seed_hash(F.col("vec_id"), 42).alias("h"),
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    ddf = con.sql(
+        f"""
+        select vec_id,
+          {O.int8_codes('embedding')} as code,
+          ('0x' || substr(md5(vec_id::VARCHAR || ':42'), 1, 15))::BIGINT as h
+        from embeddings order by vec_id
+        """
+    ).df()
+    _pairs_equal(sdf, ddf, ["code", "h"])
