@@ -333,12 +333,19 @@ def q_knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The broadcast-index mapInPandas searcher (BruteForceSearcher's torch
     matmul+topk as NumPy-per-Arrow-batch) — exploded to rows so the SAME SQL
-    oracle as brute force validates the vectorized path. The index arrives as
-    a DataFrame; broadcast_knn count-guards it before any driver gather."""
+    oracle as brute force validates the vectorized path. Index delivery uses
+    the DEFAULT production mode: executors load the parquet themselves
+    (``index_path``, per-worker cache) — the driver never touches the
+    vectors; the packed-collect fallback (for non-parquet-backed indexes) is
+    equivalence-tested against this in tests/test_similarity.py."""
     from mel_spark.operators.similarity import broadcast_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = broadcast_knn(emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K)
+    out = broadcast_knn(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K,
+        q_id="vec_id", q_emb="embedding", i_id="vec_id", i_emb="embedding",
+        index_path=f"{sf_dir}/embeddings.parquet",
+    )
     return out.select(
         "query_id",
         F.posexplode("neighbor_ids").alias("rank0", "neighbor_id"),
@@ -1498,9 +1505,10 @@ def oracle_sql() -> dict[str, str]:
         "er_survivors": f"""
             WITH asg AS ({_ER_CLUSTERS_SQL}),
             j AS (
-              SELECT a.doc_id, a.cluster_id, length(d.text) AS n_chars,
+              SELECT a.doc_id, a.cluster_id, coalesce(length(d.text), -1) AS n_chars,
                      row_number() OVER (PARTITION BY a.cluster_id
-                                        ORDER BY length(d.text) DESC, a.doc_id ASC) AS rn
+                                        ORDER BY coalesce(length(d.text), -1) DESC,
+                                                 a.doc_id ASC) AS rn
               FROM asg a JOIN documents d USING (doc_id)
             )
             SELECT cluster_id,

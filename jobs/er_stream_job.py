@@ -38,7 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fold-root", required=True, help="dir for per-epoch fold checkpoints")
     p.add_argument("--offsets", required=True, help="Structured Streaming offsets checkpoint")
     p.add_argument("--threshold", type=float, default=None)
-    p.add_argument("--compact-every", type=int, default=0)
+    p.add_argument("--compact-every", type=int, default=0,
+                   help="compact the chain every N cumulative folds (durable "
+                        "counter in _HEAD.json; 0 = cadence off)")
+    p.add_argument("--max-chain-depth", type=int, default=16,
+                   help="hard bound on fold-chain depth: compact whenever the "
+                        "head's parent-pointer depth reaches this (0 = off)")
     p.add_argument("--max-files-per-trigger", type=int, default=0,
                    help="bound epoch size (0 = drain everything into one epoch)")
     args = p.parse_args(argv)
@@ -63,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         fold_root=args.fold_root,
         cfg=cfg,
         compact_every=args.compact_every,
+        max_chain_depth=args.max_chain_depth,
     )
     q = start_er_stream(stream, state, offsets_dir=args.offsets, trigger_once=True)
     q.awaitTermination()
@@ -78,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "mode": "stream_fold",
                 "epochs_folded": state.epochs_folded,
+                "total_folds": state.total_folds,
                 "chain_head": head,
                 "clusters": n_clusters,
             }

@@ -112,6 +112,7 @@ def featurize_map(
     bands: int = 16,
     th_col: str = "_th",
     id_col: str = "csid",
+    emb_format: str = "f32",
 ):
     """One Arrow pass computing EVERY per-document feature the ER pipeline
     needs — embedding, sorted-distinct shingle hashes (xs), and minhash band
@@ -154,11 +155,21 @@ def featurize_map(
     band_mod = np.int64(MINHASH_P * 4)
 
     # xs values are md5/xxhash-derived ints < 2^30 → int32 halves the bytes of
-    # the pipeline's widest payload column (shuffles, checkpoints, Arrow)
+    # the pipeline's widest payload column (shuffles, checkpoints, Arrow).
+    # emb_format="f16" stores the embedding as a packed little-endian fp16
+    # blob (dim·2 bytes) — HALF the f32 array payload and none of parquet's
+    # per-element list overhead, the reference's deliberate fp16 storage
+    # (/root/reference/src/utils/embeddings.py:108,219-221). Scorers upcast
+    # on read (np.frombuffer('<f2')); quantization is deterministic, so
+    # fold-equals-full-run byte identity is preserved.
+    if emb_format not in ("f32", "f16"):
+        raise ValueError(f"emb_format must be 'f32' or 'f16', got {emb_format!r}")
+    from pyspark.sql.types import BinaryType as _Bin
+
     schema = _ST(
         [
             _SF(id_col, _Lng()),
-            _SF("emb", _Arr(_Flt())),
+            _SF("emb", _Bin() if emb_format == "f16" else _Arr(_Flt())),
             _SF("xs", _Arr(_Int())),
             _SF("bands", _Arr(_Lng())),
         ]
@@ -240,16 +251,56 @@ def featurize_map(
                     acc += band_coefs[j] * sig[:, b * rows_per_band + j]
                 band_keys[:, b] = (acc + np.int64(b) * np.int64(1_000_000_007)) % band_mod
 
+            if emb_format == "f16":
+                emb_out = [v.astype("<f2").tobytes() for v in vecs]
+            else:
+                emb_out = list(vecs)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "emb": list(vecs),
+                    "emb": emb_out,
                     "xs": xs_lists,
                     "bands": list(band_keys),
                 }
             )
 
     return _featurize, schema
+
+
+def emb_matrix(series: pd.Series) -> np.ndarray:
+    """(batch, dim) float64 matrix from an Arrow emb column in EITHER storage
+    format — fp16-packed binary (bytes) or array<float> — the single decode
+    point every NumPy scorer shares."""
+    vals = series.to_numpy()
+    if len(vals) and isinstance(vals[0], (bytes, bytearray)):
+        return np.stack([np.frombuffer(v, dtype="<f2") for v in vals]).astype(np.float64)
+    return np.stack(vals).astype(np.float64)
+
+
+def unpack_f16_udf():
+    """Arrow-batched decode fp16 blob → array<float>, for the (off-hot-path)
+    consumers that need a real array column: Catalyst cosine scoring and
+    hyperplane blocking over a f16-stored embed checkpoint."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _unpack(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield pd.Series(
+                [np.frombuffer(v, dtype="<f2").astype(np.float32) for v in s]
+            )
+
+    return _unpack
+
+
+def ensure_emb_array(df, emb_col: str = "emb"):
+    """Return ``df`` with ``emb_col`` as array<float>, decoding in one Arrow
+    pass when the column is fp16-packed binary; identity otherwise. Column
+    pruning drops the decode entirely for consumers that never read emb."""
+    from pyspark.sql.types import BinaryType
+
+    if isinstance(df.schema[emb_col].dataType, BinaryType):
+        return df.withColumn(emb_col, unpack_f16_udf()(F.col(emb_col)))
+    return df
 
 
 def embed_text_udf(dim: int = EMB_DIM, vocab_buckets: int = 4096, seed: int = 42):

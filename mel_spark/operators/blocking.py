@@ -195,7 +195,12 @@ def raw_band_keys(feats: DataFrame, content_langs: DataFrame) -> DataFrame:
     )
 
 
-def salt_hot_blocks(blocks: DataFrame, salt_threshold: int = 256, n_salts: int = 8) -> DataFrame:
+def salt_hot_blocks(
+    blocks: DataFrame,
+    salt_threshold: int = 256,
+    n_salts: int = 8,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
     """Split blocks larger than ``salt_threshold`` into ``n_salts`` sub-blocks
     by a deterministic hash of (block_key, member). Trades (bounded) recall
     INSIDE each mega-block for a quadratic reduction in its pair fan-out
@@ -207,10 +212,22 @@ def salt_hot_blocks(blocks: DataFrame, salt_threshold: int = 256, n_salts: int =
     independent probability, their edge survives there, and transitive
     clustering re-merges the cluster. (A member-only salt makes the same split
     in every family, deterministically fragmenting any cluster whose blocks
-    are all hot.)"""
+    are all hot.)
+
+    ``hot_keys`` (block_key) optionally supplies a precomputed hot-key set —
+    the pipeline passes the persisted per-key sizes from its ``block_sizes``
+    stage, and incremental folds pass base+delta TOTALS, skipping the
+    counting pass over the full key stream here."""
     from pyspark.sql.types import LongType
 
-    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_sz"))
+    if hot_keys is not None:
+        hot = hot_keys.select("block_key", F.lit(1).alias("_sz"))
+    else:
+        hot = (
+            blocks.groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") > salt_threshold)
+        )
     is_long = isinstance(blocks.schema["block_key"].dataType, LongType)
     salt = F.pmod(F.xxhash64("block_key", "mention_id"), F.lit(n_salts))
     salted_key = (
@@ -219,7 +236,7 @@ def salt_hot_blocks(blocks: DataFrame, salt_threshold: int = 256, n_salts: int =
         else F.concat(F.col("block_key"), F.lit("#"), salt.cast("string"))
     )
     return (
-        blocks.join(F.broadcast(sizes.filter(F.col("_sz") > salt_threshold)), "block_key", "left")
+        blocks.join(F.broadcast(hot), "block_key", "left")
         .withColumn(
             "block_key",
             F.when(F.col("_sz").isNotNull(), salted_key).otherwise(F.col("block_key")),

@@ -211,7 +211,12 @@ def survivor_selection(
         F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
     ).join(
         docs.select(
-            F.col(id_col).alias("_id"), F.length(F.col(text_col)).alias("_n_chars")
+            F.col(id_col).alias("_id"),
+            # NULL text ranks BELOW empty text: length(NULL) is NULL and NULL
+            # sorts first in ascending struct comparison, which would make a
+            # null-text doc WIN the min_by pick — the opposite of the
+            # windowed desc(n_chars) nulls-last semantics this replaces
+            F.coalesce(F.length(F.col(text_col)), F.lit(-1)).alias("_n_chars"),
         ),
         "_id",
     )

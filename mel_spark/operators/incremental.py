@@ -37,7 +37,8 @@ to the NEW batch:
      tests/test_incremental.py asserts.
 
 Durable state per fold is O(batch), never O(corpus): a fold's checkpoint dir
-holds ``ingest_delta`` / ``embed_delta`` / ``pairs_delta`` / ``clusters_delta``
+holds ``ingest_delta`` / ``embed_delta`` / ``block_index_delta`` /
+``block_sizes_delta`` / ``pairs_delta`` / ``clusters_delta``
 plus a parent pointer to the base dir (the parquet analogue of an Iceberg
 APPEND + a small overwrite). Full tables are reconstructed through the chain
 (read_stage_chain / read_clusters_chain); ``compact_checkpoint`` periodically
@@ -50,6 +51,7 @@ replay-idempotent via epoch-fingerprinted fold dirs).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -84,46 +86,84 @@ def _write_parent(ckpt_dir: str, base_dir: str) -> None:
     _os.replace(tmp, _os.path.join(ckpt_dir, PARENT_FILE))
 
 
+def chain_dirs(ckpt_dir: str, stage: str) -> tuple[str, list[str]]:
+    """Walk the parent pointers from ``ckpt_dir`` until a dir holds the FULL
+    ``stage`` table. Returns (root_dir, fold_dirs oldest→newest). Iterative —
+    a year of daily folds must not hit Python's recursion limit before the
+    compaction policy bounds the chain."""
+    import os as _os
+
+    folds: list[str] = []
+    cur = ckpt_dir
+    while not _os.path.exists(CheckpointManager(cur)._marker(stage)):
+        parent = _parent_of(cur)
+        if parent is None:
+            raise FileNotFoundError(f"{ckpt_dir}: no '{stage}' stage and no parent chain")
+        folds.append(cur)
+        cur = parent
+    folds.reverse()
+    return cur, folds
+
+
+def chain_depth(ckpt_dir: str) -> int:
+    """Number of parent hops from ``ckpt_dir`` to the chain root (0 = a
+    from-scratch or compacted dir). Drives the auto-compaction policy."""
+    depth, cur = 0, ckpt_dir
+    while (parent := _parent_of(cur)) is not None:
+        depth += 1
+        cur = parent
+    return depth
+
+
 def read_stage_chain(spark: SparkSession, ckpt_dir: str, stage: str) -> DataFrame:
     """Read an append-only stage ('ingest' / 'embed') through the fold chain:
     a fold dir holds only its ``<stage>_delta``; the full table is the union
     of the root run's stage and every delta along the parent pointers. This is
     what keeps each fold's WRITE cost O(batch) — the Iceberg analogue is a
-    table APPEND; parquet checkpoints express it as a chain instead."""
-    import os as _os
-
-    mgr = CheckpointManager(ckpt_dir)
+    table APPEND; parquet checkpoints express it as a chain instead. The plan
+    is a flat depth-way union (no per-fold joins)."""
     drop = list(LINEAGE_COLS)
-    if _os.path.exists(mgr._marker(stage)):
-        return mgr.read(stage, spark).drop(*drop)
-    parent = _parent_of(ckpt_dir)
-    if parent is None:
-        raise FileNotFoundError(f"{ckpt_dir}: no '{stage}' stage and no parent chain")
-    delta = mgr.read(f"{stage}_delta", spark).drop(*drop)
-    return read_stage_chain(spark, parent, stage).unionByName(delta)
+    root, folds = chain_dirs(ckpt_dir, stage)
+    out = CheckpointManager(root).read(stage, spark).drop(*drop)
+    for d in folds:
+        out = out.unionByName(CheckpointManager(d).read(f"{stage}_delta", spark).drop(*drop))
+    return out
 
 
 def read_clusters_chain(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """Read the cluster assignment through the fold chain with OVERRIDE
     semantics: a fold's ``clusters_delta`` holds only new mentions and
-    mentions whose assignment changed; everything else inherits the parent's
-    row. Returns the full (mention_id, cluster_id) table."""
-    import os as _os
+    mentions whose assignment changed; everything else inherits the nearest
+    ancestor's row. Returns the full (mention_id, cluster_id) table.
 
-    mgr = CheckpointManager(ckpt_dir)
+    Plan shape is depth-INDEPENDENT in joins: all deltas union with their
+    chain position, one max_by(position) aggregation picks each mention's
+    latest override, and ONE anti-join masks the root — a depth-50 chain
+    costs 50 cheap unions + 1 shuffle agg + 1 join, not 50 joins (the
+    previous recursive construction blew up the analyzer before any data
+    moved)."""
     drop = list(LINEAGE_COLS)
-    if _os.path.exists(mgr._marker("clusters")):
-        return mgr.read("clusters", spark).drop(*drop).select("mention_id", "cluster_id")
-    parent = _parent_of(ckpt_dir)
-    if parent is None:
-        raise FileNotFoundError(f"{ckpt_dir}: no 'clusters' stage and no parent chain")
-    delta = (
-        mgr.read("clusters_delta", spark).drop(*drop).select("mention_id", "cluster_id")
+    root, folds = chain_dirs(ckpt_dir, "clusters")
+    base = CheckpointManager(root).read("clusters", spark).drop(*drop).select(
+        "mention_id", "cluster_id"
     )
-    parent_cl = read_clusters_chain(spark, parent)
-    return parent_cl.join(
-        delta.select("mention_id"), "mention_id", "left_anti"
-    ).unionByName(delta)
+    if not folds:
+        return base
+    deltas = None
+    for i, d in enumerate(folds):
+        delta = (
+            CheckpointManager(d)
+            .read("clusters_delta", spark)
+            .drop(*drop)
+            .select("mention_id", "cluster_id", F.lit(i).alias("_ord"))
+        )
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    latest = deltas.groupBy("mention_id").agg(
+        F.max_by("cluster_id", F.col("_ord")).alias("cluster_id")
+    )
+    return base.join(latest.select("mention_id"), "mention_id", "left_anti").unionByName(
+        latest
+    )
 
 
 def compact_checkpoint(spark: SparkSession, ckpt_dir: str) -> None:
@@ -133,6 +173,7 @@ def compact_checkpoint(spark: SparkSession, ckpt_dir: str) -> None:
     import os as _os
 
     mgr = CheckpointManager(ckpt_dir)
+    have_index = False
     for stage in ("ingest", "embed", "block_index"):
         try:
             full = read_stage_chain(spark, ckpt_dir, stage)
@@ -144,6 +185,17 @@ def compact_checkpoint(spark: SparkSession, ckpt_dir: str) -> None:
                 continue
             raise
         mgr.write(stage, full)
+        have_index = have_index or stage == "block_index"
+    if have_index:
+        # block_sizes is DERIVED (per-key counts over the index): recompute
+        # from the compacted index rather than summing chain partials — one
+        # combiner-friendly aggregation, guaranteed consistent with the index
+        mgr.write(
+            "block_sizes",
+            mgr.read("block_index", spark)
+            .groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("block_size")),
+        )
     mgr.write("clusters", read_clusters_chain(spark, ckpt_dir))
     parent = _os.path.join(ckpt_dir, PARENT_FILE)
     if _os.path.exists(parent):
@@ -174,6 +226,7 @@ def probe_keys(
     broadcast_delta: bool = False,
     salt_threshold: int | None = None,
     n_salts: int = 8,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """delta x base candidate pairs: equi-join on raw block_key, capped at
     ``max_candidates_per_key`` old candidates per (new member, key) in
@@ -188,22 +241,34 @@ def probe_keys(
     partition before the cap filters — the join output is shuffled for the
     window, so the raw-key join makes the probe a straggler. Salting both
     sides with the identical hash keeps the probe's co-occurrence semantics
-    consistent with the full pipeline's salted blocks (a base/new member pair
-    meets in the probe iff it would share a salted sub-block in a full run)
-    while bounding each window partition to ~|block|/n_salts.
+    consistent with the full pipeline's salted blocks while bounding each
+    window partition to ~|block|/n_salts.
+
+    ``hot_keys`` (block_key) is the precomputed hot-key set — normally derived
+    from the persisted per-key block sizes (pipeline stage ``block_sizes``)
+    over base+delta TOTALS, which makes the hot set IDENTICAL to the one a
+    full run's salt_hot_blocks would use (a base/new member pair meets in the
+    probe iff it would share a salted sub-block in a full run). Without it the
+    fallback counts base+delta occurrences here — one extra pass over the
+    corpus key stream that the persisted sizes amortize to zero.
     Output: (mention_id_a < mention_id_b, block_key), distinct."""
     delta_side = delta_keys.select("block_key", F.col("mention_id").alias("_new"))
     base_side = base_keys.select("block_key", F.col("mention_id").alias("_old"))
     if salt_threshold is not None:
-        # hot-key set from the base index (groupBy count: combiner-friendly,
-        # result is tiny — only keys above the threshold survive); at scale
-        # persist these sizes next to the block index instead of re-counting
-        hot = (
-            base_side.groupBy("block_key")
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .filter(F.col("_sz") > salt_threshold)
-            .select("block_key", F.lit(True).alias("_hot"))
-        )
+        if hot_keys is not None:
+            hot = hot_keys.select("block_key", F.lit(True).alias("_hot"))
+        else:
+            # fallback hot-key set, counted over base+delta totals (matching
+            # salt_hot_blocks' total-size semantics); combiner-friendly
+            # groupBy, tiny result — only keys above the threshold survive
+            hot = (
+                base_side.select("block_key")
+                .unionByName(delta_side.select("block_key"))
+                .groupBy("block_key")
+                .agg(F.count(F.lit(1)).alias("_sz"))
+                .filter(F.col("_sz") > salt_threshold)
+                .select("block_key", F.lit(True).alias("_hot"))
+            )
 
         def _salted(df: DataFrame, member: str) -> DataFrame:
             salt = F.pmod(F.xxhash64("block_key", member), F.lit(n_salts))
@@ -236,6 +301,26 @@ def probe_keys(
         .groupBy("mention_id_a", "mention_id_b")
         .agg(F.min("block_key").alias("block_key"))
     )
+
+
+def known_csid_filter(feats_b: DataFrame, new_m: DataFrame) -> DataFrame:
+    """Rows of ``new_m`` whose csid the base has NOT featurized yet, with
+    O(batch) broadcast memory at ANY corpus size: the corpus feature table is
+    SCANNED (csid column only, parquet-pruned) through a semi-join whose
+    build side is the batch's distinct csids; the survivors — the
+    already-known csids OF THIS BATCH, |known| ≤ |batch| — drive the final
+    anti-join. This replaces a corpus-side csid broadcast (~8 GB driver
+    memory per 10^9 contents) with exact O(batch) memory; a bloom prefilter
+    would be probabilistic and still pay the same single corpus column scan
+    this semi-join performs. Reference sizing precedent: the isin-mask
+    discussion in /root/reference/src/models/negative_sampler.py:76-95.
+    tests/test_incremental.py asserts the plan shape (the corpus scan sits
+    under a LeftSemi join, never directly under a BroadcastExchange)."""
+    batch_csids = new_m.select("csid").distinct()
+    known_in_batch = feats_b.select("csid").join(
+        F.broadcast(batch_csids), "csid", "left_semi"
+    )
+    return new_m.join(F.broadcast(known_in_batch), "csid", "left_anti")
 
 
 def merge_components(
@@ -339,14 +424,22 @@ def incremental_update(
         ),
     )
 
-    # 2. featurize only unseen contents. The known-csid set is the one
-    # corpus-sized side we broadcast (8 bytes/row — ~8 GB per 10^9 contents);
-    # beyond that tier swap this for a bloom-filter prefilter + bucketed
-    # anti-join on the csid column — same semantics, no broadcast
-    new_content_m = new_m.join(
-        F.broadcast(feats_b.select("csid")), "csid", "left_anti"
+    # 2. featurize only unseen contents — O(batch) broadcast memory at any
+    # corpus size (see known_csid_filter's docstring for the plan shape)
+    new_content_m = known_csid_filter(feats_b, new_m)
+    # the delta's emb storage MUST match the base's (fp16 binary vs f32
+    # array): feats_all unions them, and every scorer reads the mixed table
+    from dataclasses import replace as _replace
+
+    from pyspark.sql.types import BinaryType as _BinT
+
+    base_storage = (
+        "f16" if isinstance(feats_b.schema["emb"].dataType, _BinT) else "f32"
     )
-    feats_new = _stage("embed_delta", lambda: embed_stage(new_content_m, cfg))
+    eff_cfg = cfg if cfg.emb_storage == base_storage else _replace(
+        cfg, emb_storage=base_storage
+    )
+    feats_new = _stage("embed_delta", lambda: embed_stage(new_content_m, eff_cfg))
     feats_all = feats_b.unionByName(feats_new)
 
     # THE FOLD'S SHUFFLE DISCIPLINE: every join below broadcasts a
@@ -374,9 +467,11 @@ def incremental_update(
             delta_cl,
         )
         if cfg.use_hyperplane_blocks:
+            from mel_spark.functions.vectors import ensure_emb_array
+
             # hyperplane keys are lang-independent → only NEW contents add them
             hp = blocking.hyperplane_blocks(
-                feats_new, "csid", "emb",
+                ensure_emb_array(feats_new), "csid", "emb",
                 dim=cfg.emb_dim, n_planes=cfg.hyperplane_planes,
                 bands=cfg.hyperplane_bands, seed=cfg.seed,
             ).select(
@@ -398,9 +493,11 @@ def incremental_update(
         base_cl = mentions_b.select("csid", "lang").dropDuplicates(["csid", "lang"])
         base_keys = raw_band_keys(feats_b, base_cl)
         if cfg.use_hyperplane_blocks:
+            from mel_spark.functions.vectors import ensure_emb_array
+
             base_keys = base_keys.unionByName(
                 blocking.hyperplane_blocks(
-                    feats_b, "csid", "emb",
+                    ensure_emb_array(feats_b), "csid", "emb",
                     dim=cfg.emb_dim, n_planes=cfg.hyperplane_planes,
                     bands=cfg.hyperplane_bands, seed=cfg.seed,
                 ).select(
@@ -409,10 +506,52 @@ def incremental_update(
                 )
             )
 
+    # ONE hot-key set, shared by the delta×delta salting AND the probe, built
+    # from per-key TOTAL sizes (base + this batch) — the same totals a full
+    # run's salt_hot_blocks counts, so the fold salts exactly the keys a full
+    # recompute would. Two scale properties:
+    #  * only keys PRESENT IN THE DELTA matter (both pairing paths key on
+    #    delta keys; a key absent from the batch generates no fold pairs), so
+    #    the base side is semi-joined down to the batch's keys BEFORE any
+    #    aggregation — the shuffle is batch-proportional at any corpus size;
+    #  * the base sizes come from the persisted ``block_sizes`` stage (written
+    #    by run_pipeline next to the block index; each fold APPENDS its delta
+    #    sizes below), so the fold reads a 2-column sizes table instead of
+    #    re-counting the corpus key stream. A pre-block_sizes base falls back
+    #    to counting the (already in hand) base key stream once.
+    delta_sizes = _stage(
+        "block_sizes_delta",
+        lambda: delta_keys.groupBy("block_key").agg(
+            F.count(F.lit(1)).alias("block_size")
+        ),
+    )
+    dk_distinct = delta_sizes.select("block_key")
+    try:
+        # a mixed chain (root has block_sizes, an old-layout fold lacks its
+        # delta) surfaces as an analysis error on the missing path — same
+        # fallback as a pre-block_sizes base
+        base_sizes = read_stage_chain(spark, base_checkpoint, "block_sizes")
+        base_at_delta = base_sizes.join(
+            F.broadcast(dk_distinct), "block_key", "left_semi"
+        ).select("block_key", "block_size")
+    except (FileNotFoundError, AnalysisException):
+        base_at_delta = (
+            base_keys.join(F.broadcast(dk_distinct), "block_key", "left_semi")
+            .groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("block_size"))
+        )
+    hot_keys = (
+        base_at_delta.unionByName(delta_sizes)
+        .groupBy("block_key")
+        .agg(F.sum("block_size").alias("block_size"))
+        .filter(F.col("block_size") > cfg.salt_threshold)
+        .select("block_key")
+    )
+
     def _scored() -> DataFrame:
-        # 3a. delta x delta with the standard skew controls
+        # 3a. delta x delta with the standard skew controls (hot set = totals)
         dd_blocks = blocking.cap_blocks(
-            blocking.salt_hot_blocks(delta_keys, cfg.salt_threshold),
+            blocking.salt_hot_blocks(delta_keys, cfg.salt_threshold, hot_keys=hot_keys),
             cfg.max_block_size,
         )
         dd_pairs = pairs.candidate_pairs(dd_blocks)
@@ -422,6 +561,7 @@ def incremental_update(
         db_pairs = probe_keys(
             delta_keys, base_keys, max_candidates_per_key=cfg.max_block_size,
             broadcast_delta=True, salt_threshold=cfg.salt_threshold,
+            hot_keys=hot_keys,
         )
         cand = (
             dd_pairs.unionByName(db_pairs)

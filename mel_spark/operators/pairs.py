@@ -180,8 +180,10 @@ def score_pairs_fused_arrow(
             B = len(pdf)
             if B == 0:
                 continue
-            ea = np.stack(pdf["_emb_a"].to_numpy()).astype(np.float64)
-            eb = np.stack(pdf["_emb_b"].to_numpy()).astype(np.float64)
+            # emb arrives as fp16-packed binary (the default checkpoint
+            # storage) or array<float>; V.emb_matrix decodes either
+            ea = V.emb_matrix(pdf["_emb_a"])
+            eb = V.emb_matrix(pdf["_emb_b"])
             cos = _round6(np.einsum("ij,ij->i", ea, eb))
             la = np.fromiter((len(x) for x in pdf["_xs_a"]), np.int64, B)
             lb = np.fromiter((len(x) for x in pdf["_xs_b"]), np.int64, B)

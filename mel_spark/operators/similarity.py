@@ -53,9 +53,35 @@ from pyspark.sql.types import (
 from mel_spark.functions import vectors as V
 
 # per-worker-process cache for executor-side index loads (broadcast_knn's
-# index_path mode): keyed by (path, id_col, emb_col); lives for the Python
-# worker's lifetime, so every task on a worker reuses one materialized index
+# index_path mode): keyed by (path, id_col, emb_col, content fingerprint);
+# lives for the Python worker's lifetime, so every task on a worker reuses one
+# materialized index. The fingerprint (per-file size+mtime of the parquet
+# data) makes a rewrite at the SAME path — e.g. an embed checkpoint recomputed
+# under a new config — a cache MISS instead of silently serving stale vectors
+# (spark.python.worker.reuse keeps these processes alive across queries).
 _INDEX_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _index_content_token(path: str) -> tuple:
+    """Cheap content identity for a parquet dir/file: sorted (relpath, size,
+    mtime_ns) of its data files. Local-fs only — object stores should pass an
+    explicit version via a distinct path (the checkpoint layout already does:
+    markers record row counts, rewrites go through overwrite+marker)."""
+    import os as _os
+
+    entries = []
+    if _os.path.isdir(path):
+        for root, _, files in _os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                st = _os.stat(_os.path.join(root, f))
+                entries.append((_os.path.relpath(_os.path.join(root, f), path),
+                                st.st_size, st.st_mtime_ns))
+    else:
+        st = _os.stat(path)
+        entries.append((path, st.st_size, st.st_mtime_ns))
+    return tuple(sorted(entries))
 
 
 def _prep_index(ids: np.ndarray, embs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -70,13 +96,24 @@ def _prep_index(ids: np.ndarray, embs: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def _load_index_cached(path: str, id_col: str, emb_col: str) -> tuple[np.ndarray, np.ndarray]:
-    key = (path, id_col, emb_col)
+    key = (path, id_col, emb_col, _index_content_token(path))
     if key not in _INDEX_CACHE:
+        # drop superseded versions of this path so a long-lived worker doesn't
+        # accumulate dead indexes
+        for k in [k for k in _INDEX_CACHE if k[:3] == (path, id_col, emb_col)]:
+            del _INDEX_CACHE[k]
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(path, columns=[id_col, emb_col])
         ids = tbl.column(id_col).to_numpy().astype(np.int64)
-        embs = np.stack(tbl.column(emb_col).to_pylist()).astype(np.float32)
+        vals = tbl.column(emb_col).to_pylist()
+        if vals and isinstance(vals[0], (bytes, bytearray)):
+            # fp16-packed binary emb (the embed checkpoint's default storage)
+            embs = np.stack([np.frombuffer(v, dtype="<f2") for v in vals]).astype(
+                np.float32
+            )
+        else:
+            embs = np.stack(vals).astype(np.float32)
         _INDEX_CACHE[key] = _prep_index(ids, embs)
     return _INDEX_CACHE[key]
 
@@ -255,22 +292,26 @@ def train_ivf_centroids(
     i_emb: str = "embedding",
     iterations: int = 3,
     seed: int = 42,
+    init_hash: str = "xxhash64",
 ) -> np.ndarray:
     """Seeded Lloyd k-means over the index vectors → (n_cells, d) float32,
     rows L2-normalized (cells partition by cosine, matching the scorer).
 
     Deterministic: initial centroids are the vectors with the ``n_cells``
-    smallest xxhash64(id, seed) values (a seeded sample independent of
+    smallest ``init_hash(id, seed)`` values (a seeded sample independent of
     partitioning); each Lloyd round is one broadcast-assign + groupBy-mean —
     executor-parallel, O(N·cells·d) per round, no driver-side data beyond the
     (cells × d) matrix itself. ``n_cells ≈ 5√N`` is the reference's ScaNN
-    leaf heuristic."""
+    leaf heuristic. ``init_hash="md5"`` selects the SAME medoids as the
+    relational twin (ivf_topk_relational's _md5_seed_hash init), letting
+    tests align the two quantizers end-to-end."""
     sdf = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
-    init = (
-        sdf.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
-        .limit(n_cells)
-        .collect()
+    h = (
+        _md5_seed_hash(F.col("_id"), seed)
+        if init_hash == "md5"
+        else F.xxhash64(F.col("_id"), F.lit(seed))
     )
+    init = sdf.orderBy(h, F.col("_id")).limit(n_cells).collect()
     cents = np.array([r["_emb"] for r in init], dtype=np.float64)
     norms = np.linalg.norm(cents, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -331,6 +372,7 @@ def ivf_topk(
     seed: int = 42,
     quantized: bool = False,
     reorder: int = 1000,
+    init_hash: str = "xxhash64",
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means cells → queries probe their
     ``nprobe`` nearest cells → candidate equi-join on cell id → exact cosine
@@ -349,7 +391,7 @@ def ivf_topk(
 
     Scale shape: the only broadcast is the (n_cells × d) centroid matrix;
     candidates come from a cell-id equi-join, never all-pairs."""
-    cents = train_ivf_centroids(index, n_cells, i_id, i_emb, iterations, seed)
+    cents = train_ivf_centroids(index, n_cells, i_id, i_emb, iterations, seed, init_hash)
     spark = index.sparkSession
     i_cells = _assign_cells(
         index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb")), cents, spark

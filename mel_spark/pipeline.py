@@ -65,6 +65,12 @@ class ERConfig:
     w_lev: float = 0.0
     w_jaccard: float = 0.4
     seed: int = 42
+    # embedding storage in the embed checkpoint: fp16-packed binary halves
+    # the pipeline's widest column (the reference stores fp16 deliberately,
+    # src/utils/embeddings.py:108); quantization is deterministic so
+    # fold-equals-full-run identity is unaffected. "f32" keeps array<float>
+    # (e.g. for exact parity against a full-precision external oracle).
+    emb_storage: str = "f16"
 
 
 def ingest(
@@ -136,6 +142,7 @@ def embed_stage(mentions: DataFrame, cfg: ERConfig) -> DataFrame:
         shingle_n=cfg.shingle_n,
         num_hashes=cfg.minhash_hashes,
         bands=cfg.minhash_bands,
+        emb_format=cfg.emb_storage,
     )
     return distinct_contents.select(
         "csid", T.token_int_hashes("content").alias("_th")
@@ -157,8 +164,10 @@ def block_index_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> D
     content_langs = mentions.select("csid", "lang").dropDuplicates(["csid", "lang"])
     b_mh = blocking.raw_band_keys(feats, content_langs)
     if cfg.use_hyperplane_blocks:
+        from mel_spark.functions.vectors import ensure_emb_array
+
         b_hp = blocking.hyperplane_blocks(
-            feats,
+            ensure_emb_array(feats),
             "csid",
             "emb",
             dim=cfg.emb_dim,
@@ -170,13 +179,28 @@ def block_index_stage(feats: DataFrame, mentions: DataFrame, cfg: ERConfig) -> D
     return b_mh
 
 
-def block_stage(index: DataFrame, cfg: ERConfig) -> DataFrame:
+def block_sizes_stage(index: DataFrame) -> DataFrame:
+    """Stage 4a': per-key sizes of the raw block index — (block_key,
+    block_size). Persisted NEXT TO the index so (a) the salting pass below
+    reads a tiny hot-key table instead of re-counting the full key stream and
+    (b) incremental folds derive their hot set from base+delta TOTALS without
+    a corpus pass (operators/incremental.py appends per-fold delta sizes).
+    One combiner-friendly aggregation; output rows = distinct keys."""
+    return index.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
+
+
+def block_stage(index: DataFrame, cfg: ERConfig, sizes: DataFrame | None = None) -> DataFrame:
     """Stage 4b: pairing-time skew policies over the raw index (salt → cap).
 
     Both the key AND the member id are 8-byte longs: the exploded block table
     (~17 rows/content) is the pipeline's biggest shuffle, and the cap/salt
     windows sort it — 16-byte rows keep that sort allocation-light."""
-    blocks = blocking.salt_hot_blocks(index, cfg.salt_threshold)
+    hot = (
+        sizes.filter(F.col("block_size") > cfg.salt_threshold).select("block_key")
+        if sizes is not None
+        else None
+    )
+    blocks = blocking.salt_hot_blocks(index, cfg.salt_threshold, hot_keys=hot)
     return blocking.cap_blocks(blocks, cfg.max_block_size)
 
 
@@ -191,9 +215,13 @@ def pair_stage(
     use_ident = bool(cfg.w_jw or cfg.w_lev)
     if not use_ident:
         # default fast path: one NumPy pass for cosine ⊕ jaccard ⊕ fuse
+        # (consumes fp16-packed or array emb directly — no decode stage)
         return pairs.score_pairs_fused_arrow(
             cand, records, w_cos=cfg.w_cos, w_jaccard=cfg.w_jaccard
         )
+    from mel_spark.functions.vectors import ensure_emb_array
+
+    records = ensure_emb_array(records)  # Catalyst cosine needs a real array
     rep_path = (mentions or feats).groupBy("csid").agg(F.min("path").alias("path"))
     records = records.join(
         rep_path.select(F.col("csid").alias("mention_id"), "path"), "mention_id"
@@ -261,8 +289,11 @@ def run_pipeline(
         "block_index", spark, lambda: block_index_stage(feats, mentions, cfg),
         fingerprint=fp,
     )
+    sizes, _ = ckpt.get_or_compute(
+        "block_sizes", spark, lambda: block_sizes_stage(index), fingerprint=fp
+    )
     blocks, _ = ckpt.get_or_compute(
-        "blocks", spark, lambda: block_stage(index, cfg), fingerprint=fp
+        "blocks", spark, lambda: block_stage(index, cfg, sizes=sizes), fingerprint=fp
     )
     scored, _ = ckpt.get_or_compute(
         "pairs", spark, lambda: pair_stage(blocks, feats, cfg, mentions), fingerprint=fp

@@ -30,7 +30,11 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from mel_spark.operators.incremental import compact_checkpoint, incremental_update
+from mel_spark.operators.incremental import (
+    chain_depth,
+    compact_checkpoint,
+    incremental_update,
+)
 from mel_spark.pipeline import ERConfig
 
 
@@ -48,21 +52,38 @@ class StreamingFoldState:
     the base and orphan every earlier fold's state. ``fold_root`` and the
     stream's offsets checkpoint are one logical unit: keep or delete them
     together (offsets without the head re-deliver epochs the chain already
-    contains; the head without offsets re-labels epoch ids)."""
+    contains; the head without offsets re-labels epoch ids).
+
+    Compaction policy (bounds chain length so chain reads stay flat):
+    ``compact_every`` is keyed on the CUMULATIVE fold counter persisted in
+    _HEAD.json — not a per-invocation count, which would never fire in the
+    cron-shaped one-epoch-per-invocation deployment — and ``max_chain_depth``
+    is a hard backstop on parent-pointer depth that fires regardless of the
+    cadence (covers chains grown before this state existed, or an operator
+    setting compact_every=0)."""
 
     base_checkpoint: str
     fold_root: str
     cfg: ERConfig = field(default_factory=ERConfig)
-    compact_every: int = 0  # 0 = never compact
+    compact_every: int = 0  # 0 = no cadence-based compaction
+    max_chain_depth: int = 16  # hard depth bound; 0 = unbounded (not advised)
     head: str | None = None  # latest fold dir (chain head); None = base only
     epochs_folded: int = 0  # this invocation only
+    total_folds: int = 0  # cumulative across invocations (persisted in _HEAD)
 
     def __post_init__(self) -> None:
         import json as _json
 
+        # normalize both chain anchors once: every comparison against
+        # _HEAD.json / _PARENT.json contents must be textual-form-insensitive
+        # (relative vs absolute, trailing slash)
+        self.base_checkpoint = os.path.abspath(self.base_checkpoint)
+        self.fold_root = os.path.abspath(self.fold_root)
         if self.head is None and os.path.exists(_head_path(self.fold_root)):
             with open(_head_path(self.fold_root)) as f:
-                self.head = _json.load(f)["head"]
+                meta = _json.load(f)
+            self.head = os.path.abspath(meta["head"])
+            self.total_folds = int(meta.get("total_folds", 0))
 
     def current_base(self) -> str:
         return self.head or self.base_checkpoint
@@ -72,8 +93,9 @@ class StreamingFoldState:
 
         os.makedirs(self.fold_root, exist_ok=True)
         tmp = _head_path(self.fold_root) + ".tmp"
+        self.total_folds += 1
         with open(tmp, "w") as f:
-            _json.dump({"head": fold_dir}, f)
+            _json.dump({"head": fold_dir, "total_folds": self.total_folds}, f)
         os.replace(tmp, _head_path(self.fold_root))  # atomic
         self.head = fold_dir
         self.epochs_folded += 1
@@ -92,8 +114,8 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
     own green delta stages instead of forking or double-counting."""
     if batch.isEmpty():
         return {}
-    fold_dir = os.path.join(state.fold_root, f"epoch_{epoch_id:012d}")
-    if fold_dir == state.current_base():
+    fold_dir = os.path.abspath(os.path.join(state.fold_root, f"epoch_{epoch_id:012d}"))
+    if fold_dir == os.path.abspath(state.current_base()):
         # crash window: the fold completed and _HEAD.json advanced, but the
         # stream's offsets checkpoint didn't commit — the epoch is
         # re-delivered although its fold (all delta stages) is already green
@@ -108,7 +130,9 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
         input_token=f"epoch:{epoch_id}",
     )
     state._advance(fold_dir)
-    if state.compact_every and state.epochs_folded % state.compact_every == 0:
+    cadence_hit = state.compact_every and state.total_folds % state.compact_every == 0
+    depth_hit = state.max_chain_depth and chain_depth(fold_dir) >= state.max_chain_depth
+    if cadence_hit or depth_hit:
         compact_checkpoint(batch.sparkSession, fold_dir)
     return out
 

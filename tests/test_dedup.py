@@ -138,3 +138,21 @@ def test_select_survivors(spark, docs):
         r["doc_id"] for r in dedup.select_survivors(clusters, docs, "doc_id").collect()
     )
     assert kept == [1, 4, 5, 6]
+
+
+def test_survivor_selection_null_text_ranks_last(spark):
+    """ADVICE r4: a NULL-text doc must LOSE the survivor pick to any
+    non-null member (even empty text) — matching the windowed
+    desc(length) nulls-last semantics the min_by aggregation replaced."""
+    from mel_spark.operators.dedup import survivor_selection
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "xx")],
+        schema="doc_id long, text string",
+    )
+    cl = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200)], ["doc_id", "cluster_id"]
+    )
+    rows = {r["cluster_id"]: r for r in survivor_selection(cl, docs).collect()}
+    assert rows[100]["survivor_doc_id"] == 2  # empty beats NULL
+    assert rows[200]["survivor_doc_id"] == 3

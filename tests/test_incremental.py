@@ -268,3 +268,171 @@ def test_compact_pre_block_index_chain(spark, tmp_path):
     assert not os.path.exists(f"{inc_dir}/_PARENT.json")
     after = read_clusters_chain(spark, inc_dir).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def _plan_nodes(plan: str) -> list[tuple[int, str]]:
+    """Parse Spark's physical-plan tree string into (depth, text) nodes —
+    each tree level adds one 3-char prefix group (':  ', '   ', ':- ', '+- ')."""
+    out = []
+    for ln in plan.splitlines():
+        i = 0
+        while ln[i : i + 3] in (":  ", "   ", ":- ", "+- "):
+            i += 3
+        txt = ln[i:].strip()
+        if txt:
+            out.append((i // 3, txt))
+    return out
+
+
+def test_known_csid_filter_plan_no_corpus_broadcast(spark, tmp_path):
+    """The fold's known-csid prefilter must NEVER broadcast the corpus side:
+    in the physical plan, the base feature scan's nearest exchange/join
+    ancestor must be the LeftSemi join against the (batch-sized) csid set —
+    not a BroadcastExchange, which is what the old corpus-side broadcast
+    produced (~8 GB driver memory per 10^9 contents)."""
+    from mel_spark.operators.incremental import known_csid_filter
+
+    feats_path = str(tmp_path / "feats")
+    spark.range(0, 5000).selectExpr("id as csid", "id * 2 as other").write.parquet(
+        feats_path
+    )
+    feats_b = spark.read.parquet(feats_path)
+    new_m = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9999999, "c")], ["csid", "payload"]
+    )
+    out = known_csid_filter(feats_b, new_m)
+    # correctness: only the unseen csid survives
+    assert [r["csid"] for r in out.collect()] == [9999999]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    nodes = _plan_nodes(plan)
+    # the ONLY parquet scan in this query is the corpus (feats) side — the
+    # batch is a local relation
+    feats_scans = [i for i, (_, t) in enumerate(nodes) if "Scan parquet" in t or "FileScan" in t]
+    assert feats_scans, f"no feats scan found in plan:\n{plan}"
+    for i in feats_scans:
+        depth = nodes[i][0]
+        hit = None
+        # walk ancestors: the NEAREST exchange-or-join above the corpus scan
+        # must be the LeftSemi prefilter, never a BroadcastExchange
+        for j in range(i - 1, -1, -1):
+            d, t = nodes[j]
+            if d < depth:
+                depth = d
+                if "BroadcastExchange" in t or "Join" in t:
+                    hit = t
+                    break
+        assert hit is not None and "LeftSemi" in hit, (
+            f"corpus scan's nearest exchange/join ancestor is {hit!r}:\n{plan}"
+        )
+
+
+def test_chain_depth_50_reads_flat(spark, tmp_path):
+    """A 50-deep fold chain must still resolve (iterative walk, no Python
+    recursion) and read_clusters_chain must stay cheap: O(depth) unions + ONE
+    aggregation + ONE anti-join, not one join per fold. Override semantics:
+    the latest fold's assignment wins per mention."""
+    import time
+
+    from mel_spark.operators.incremental import (
+        _write_parent,
+        chain_depth,
+        read_clusters_chain,
+        read_stage_chain,
+    )
+    from mel_spark.sources.checkpoint import CheckpointManager
+
+    depth = 50
+    root = str(tmp_path / "d0")
+    CheckpointManager(root).write(
+        "clusters",
+        spark.createDataFrame([(f"m{i}", 0) for i in range(5)], ["mention_id", "cluster_id"]),
+    )
+    CheckpointManager(root).write(
+        "ingest", spark.createDataFrame([("m0", "x")], ["mention_id", "content"])
+    )
+    prev = root
+    for k in range(1, depth + 1):
+        d = str(tmp_path / f"d{k}")
+        # each fold adds one mention AND re-assigns mention m0 to cluster k
+        CheckpointManager(d).write(
+            "clusters_delta",
+            spark.createDataFrame(
+                [(f"new{k}", k), ("m0", k)], ["mention_id", "cluster_id"]
+            ),
+        )
+        CheckpointManager(d).write(
+            "ingest_delta",
+            spark.createDataFrame([(f"new{k}", "y")], ["mention_id", "content"]),
+        )
+        _write_parent(d, prev)
+        prev = d
+
+    assert chain_depth(prev) == depth
+    t0 = time.time()
+    rows = {r["mention_id"]: r["cluster_id"] for r in read_clusters_chain(spark, prev).collect()}
+    elapsed = time.time() - t0
+    assert rows["m0"] == depth  # latest override wins
+    assert rows["new7"] == 7 and rows["m4"] == 0
+    assert len(rows) == 5 + depth
+    assert read_stage_chain(spark, prev, "ingest").count() == 1 + depth
+    # analyzer + execution must stay in seconds at depth 50 (the recursive
+    # per-fold-join construction this replaces blew up superlinearly)
+    assert elapsed < 60, f"depth-{depth} chain read took {elapsed:.1f}s"
+
+
+def test_block_sizes_persisted_and_appended(spark, tmp_path):
+    """run_pipeline persists per-key block sizes next to the block index;
+    every fold appends a block_sizes_delta; totals through the chain equal a
+    fresh count over the chained index (the fold's hot-key set derives from
+    these instead of re-counting the corpus key stream)."""
+    import os
+
+    from mel_spark.operators.incremental import read_stage_chain
+
+    tables = generate_repos(GenConfig(n_files=200, seed=23))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10)) < 7
+    base = str(tmp_path / "base")
+    out = run_pipeline(spark, repos.filter(in_a), base)
+    assert os.path.exists(f"{base}/block_sizes._MARKER.json")
+
+    inc_dir = str(tmp_path / "inc")
+    incremental_update(spark, base, repos.filter(~in_a), checkpoint_dir=inc_dir)
+    assert os.path.exists(f"{inc_dir}/block_sizes_delta._MARKER.json")
+
+    totals = (
+        read_stage_chain(spark, inc_dir, "block_sizes")
+        .groupBy("block_key")
+        .agg(F.sum("block_size").alias("n"))
+    )
+    fresh = (
+        read_stage_chain(spark, inc_dir, "block_index")
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert totals.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(totals).count() == 0
+
+
+def test_probe_keys_hot_set_counts_base_plus_delta(spark):
+    """A key hot only in AGGREGATE (base and delta each below the threshold)
+    must still be salted — matching a full run's salt_hot_blocks, which
+    counts TOTAL block size. 150 base + 150 delta members with threshold 200:
+    base-only counting would leave the key raw (all 150x150 pairs in one
+    window partition); combined counting salts it (strict subset survives)."""
+    from mel_spark.operators.incremental import probe_keys
+
+    k = 5_000_000_000
+    base = spark.createDataFrame(
+        [(k, i) for i in range(150)], ["block_key", "mention_id"]
+    )
+    delta = spark.createDataFrame(
+        [(k, 10_000 + i) for i in range(150)], ["block_key", "mention_id"]
+    )
+    raw = probe_keys(delta, base, max_candidates_per_key=1000).count()
+    salted = probe_keys(
+        delta, base, max_candidates_per_key=1000, salt_threshold=200, n_salts=4
+    ).count()
+    assert raw == 150 * 150
+    assert 0 < salted < raw  # the aggregate-hot key WAS salted

@@ -160,3 +160,89 @@ def test_ivf_relational_subset_of_brute_force(spark, emb_df):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert bf[key] == r["cos"], (key, bf[key], r["cos"])
+
+
+def test_index_path_cache_invalidated_on_rewrite(spark, tmp_path):
+    """ADVICE r4: with spark.python.worker.reuse, the per-worker index cache
+    must not serve stale vectors after the parquet at index_path is REWRITTEN
+    in place (e.g. an embed checkpoint recomputed under a new config) — the
+    cache key carries a content fingerprint of the data files."""
+    import numpy as np
+    import pandas as pd
+
+    from mel_spark.operators.similarity import broadcast_knn
+
+    path = str(tmp_path / "idx")
+    d = 8
+
+    def write_index(closest_id):
+        # vec 0 is the query; `closest_id` gets an identical vector, the
+        # other a far one
+        base = np.zeros(d, dtype=np.float32)
+        base[0] = 1.0
+        far = np.zeros(d, dtype=np.float32)
+        far[1] = 1.0
+        rows = [(0, [float(x) for x in base])]
+        for vid in (1, 2):
+            v = base if vid == closest_id else far
+            rows.append((vid, [float(x) for x in v]))
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    q = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (d - 1))], ["vec_id", "embedding"]
+    )
+    write_index(1)
+    r1 = broadcast_knn(q, None, k=1, index_path=path).collect()[0]["neighbor_ids"]
+    assert r1 == [1]
+    write_index(2)  # same path, new content
+    r2 = broadcast_knn(q, None, k=1, index_path=path).collect()[0]["neighbor_ids"]
+    assert r2 == [2], "stale index served after in-place rewrite"
+
+
+def test_index_path_reads_fp16_packed_checkpoint(spark, tmp_path):
+    """index_path over a fp16-packed binary emb column (the embed
+    checkpoint's default storage) must match the array<float> form."""
+    import numpy as np
+
+    from mel_spark.operators.similarity import broadcast_knn
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float16).astype(np.float32)
+    rows_arr = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows_bin = [(i, bytearray(vecs[i].astype("<f2").tobytes())) for i in range(40)]
+    p_arr, p_bin = str(tmp_path / "arr"), str(tmp_path / "bin")
+    spark.createDataFrame(rows_arr, ["vec_id", "embedding"]).write.parquet(p_arr)
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    spark.createDataFrame(
+        rows_bin,
+        StructType([StructField("vec_id", LongType()), StructField("embedding", BinaryType())]),
+    ).write.parquet(p_bin)
+    q = spark.createDataFrame(rows_arr[:5], ["vec_id", "embedding"])
+    got_a = sorted(
+        (r["query_id"], tuple(r["neighbor_ids"]))
+        for r in broadcast_knn(q, None, k=3, index_path=p_arr).collect()
+    )
+    got_b = sorted(
+        (r["query_id"], tuple(r["neighbor_ids"]))
+        for r in broadcast_knn(q, None, k=3, index_path=p_bin).collect()
+    )
+    assert got_a == got_b
+
+
+def test_ivf_fitted_matches_relational_with_aligned_init(spark, emb_df):
+    """VERDICT r4 #7: the production fitted IVF (numpy Lloyd, broadcast
+    centroid matrix) and the oracle-matched relational twin implement the
+    SAME quantizer — injecting the twin's md5-seeded medoid init into the
+    fitted path must yield identical probe/re-score output end to end
+    (same cells up to float noise ⇒ same candidates ⇒ same exact re-score)."""
+    from mel_spark.operators.similarity import ivf_topk, ivf_topk_relational
+
+    kw = dict(k=5, n_cells=8, nprobe=3, iterations=2, seed=42)
+    fitted = ivf_topk(emb_df, emb_df, init_hash="md5", **kw)
+    twin = ivf_topk_relational(emb_df, emb_df, **kw)
+    a = {tuple(r) for r in fitted.select("query_id", "neighbor_id", "cos", "rank").collect()}
+    b = {tuple(r) for r in twin.select("query_id", "neighbor_id", "cos", "rank").collect()}
+    assert a == b

@@ -160,3 +160,162 @@ def test_streaming_er_head_persists_across_invocations(spark, tmp_path):
     got = read_clusters_chain(spark, st2.current_base())
     want = full["clusters"].select("mention_id", "cluster_id")
     assert got.count() == want.count() and got.exceptAll(want).count() == 0
+
+
+def _mk_split_repos(spark, n_files=140, seed=29):
+    from mel_spark.datagen import GenConfig, generate_repos
+
+    tables = generate_repos(GenConfig(n_files=n_files, seed=seed))
+    repos = spark.createDataFrame(tables["repos"])
+    shard = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10))
+    return repos, shard
+
+
+def test_compact_cadence_survives_fresh_invocations(spark, tmp_path):
+    """ADVICE r4: compaction cadence must key on the CUMULATIVE fold counter
+    persisted in _HEAD.json — a per-invocation counter never fires in the
+    cron-shaped one-epoch-per-invocation deployment, and the chain grows
+    without bound. Two single-epoch invocations with compact_every=2: the
+    second must compact (head has no parent, full clusters materialized)."""
+    import os
+
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, start_er_stream
+    from mel_spark.operators.incremental import read_clusters_chain
+
+    repos, shard = _mk_split_repos(spark)
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard < 6), base)
+    src = f"{tmp_path}/src"
+
+    def invoke():
+        stream = (
+            spark.readStream.schema(repos.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        st = StreamingFoldState(
+            base_checkpoint=base,
+            fold_root=str(tmp_path / "folds"),
+            compact_every=2,
+            max_chain_depth=0,
+        )
+        q = start_er_stream(stream, st, offsets_dir=str(tmp_path / "off"), trigger_once=True)
+        q.awaitTermination(300)
+        return st
+
+    repos.filter(shard.isin(6, 7)).coalesce(1).write.mode("overwrite").parquet(src)
+    st1 = invoke()
+    assert st1.total_folds == 1
+    assert os.path.exists(f"{st1.current_base()}/_PARENT.json")  # not yet compacted
+
+    repos.filter(shard.isin(8, 9)).coalesce(1).write.mode("append").parquet(src)
+    st2 = invoke()
+    assert st2.total_folds == 2  # durable counter carried across invocations
+    head = st2.current_base()
+    assert not os.path.exists(f"{head}/_PARENT.json")  # cadence fired
+    assert os.path.exists(f"{head}/clusters._MARKER.json")
+
+    got = read_clusters_chain(spark, head)
+    want = full["clusters"].select("mention_id", "cluster_id")
+    assert got.count() == want.count() and got.exceptAll(want).count() == 0
+
+
+def test_max_chain_depth_backstop_compacts(spark, tmp_path):
+    """The hard depth bound fires regardless of cadence: with
+    max_chain_depth=1 every fold is immediately compacted into a flat dir."""
+    import os
+
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, fold_micro_batch
+    from mel_spark.operators.incremental import chain_depth
+
+    repos, shard = _mk_split_repos(spark, n_files=80, seed=31)
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard < 7), base)
+    st = StreamingFoldState(
+        base_checkpoint=base, fold_root=str(tmp_path / "folds"), max_chain_depth=1
+    )
+    out = fold_micro_batch(st, repos.filter(shard >= 7), epoch_id=0)
+    assert out  # folded
+    assert chain_depth(st.current_base()) == 0  # compacted on the spot
+    assert os.path.exists(f"{st.current_base()}/clusters._MARKER.json")
+
+
+def test_offsets_loss_replays_committed_epoch_without_fork(spark, tmp_path):
+    """Failure injection for the documented crash window (fold completed +
+    _HEAD advanced, stream offsets NOT committed): losing the offsets
+    checkpoint re-delivers the folded epoch through the real streaming
+    machinery. The replay must be a no-op on the chain (no fork, no
+    double-fold — the epoch's delta stages are untouched) and later epochs
+    must keep folding on top; the final assignment equals a from-scratch
+    run."""
+    import json
+    import os
+
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, start_er_stream
+    from mel_spark.operators.incremental import read_clusters_chain, _parent_of
+
+    repos, shard = _mk_split_repos(spark, n_files=160, seed=37)
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard < 6), base)
+    src = f"{tmp_path}/src"
+
+    def invoke():
+        stream = (
+            spark.readStream.schema(repos.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        st = StreamingFoldState(base_checkpoint=base, fold_root=str(tmp_path / "folds"))
+        q = start_er_stream(stream, st, offsets_dir=str(tmp_path / "off"), trigger_once=True)
+        q.awaitTermination(300)
+        return st
+
+    repos.filter(shard.isin(6, 7)).coalesce(1).write.mode("overwrite").parquet(src)
+    st1 = invoke()
+    epoch0 = st1.current_base()
+    marker = f"{epoch0}/ingest_delta._MARKER.json"
+    with open(marker) as f:
+        fold0_meta = json.load(f)
+
+    # CRASH: offsets lost after the fold committed — epoch 0 re-delivers
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/off")
+    repos.filter(shard.isin(8, 9)).coalesce(1).write.mode("append").parquet(src)
+    st2 = invoke()
+
+    # epoch 0 was NOT re-folded (its delta stages untouched, same run_id)
+    with open(marker) as f:
+        assert json.load(f) == fold0_meta
+    # no fork: the new head chains directly onto the replayed epoch's dir
+    head = st2.current_base()
+    assert head != epoch0 and _parent_of(head) == epoch0
+    got = read_clusters_chain(spark, head)
+    want = full["clusters"].select("mention_id", "cluster_id")
+    assert got.count() == want.count() and got.exceptAll(want).count() == 0
+
+
+def test_head_guard_normalizes_path_spelling(spark, tmp_path):
+    """ADVICE r4: the replayed-head-epoch guard compares paths — a later
+    invocation passing fold_root in a different textual form (trailing slash,
+    ./ segments) must still hit the guard instead of crash-looping in
+    incremental_update's same-dir rejection."""
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, fold_micro_batch
+
+    repos, shard = _mk_split_repos(spark, n_files=80, seed=41)
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard < 7), base)
+    batch = repos.filter(shard >= 7)
+
+    st = StreamingFoldState(base_checkpoint=base, fold_root=str(tmp_path / "folds"))
+    assert fold_micro_batch(st, batch, epoch_id=0)
+
+    # fresh state, differently-spelled paths (as a cron job might construct)
+    st2 = StreamingFoldState(
+        base_checkpoint=f"{base}/",
+        fold_root=f"{tmp_path}/./folds/",
+    )
+    assert st2.current_base() == st.current_base()
+    assert fold_micro_batch(st2, batch, epoch_id=0) == {}  # guard hit, no-op
