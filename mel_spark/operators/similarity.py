@@ -132,6 +132,10 @@ def brute_force_topk(
     by neighbor id (deterministic). ``exclude_self`` drops id-equal matches
     (turn it OFF when query and index id spaces differ, e.g. retrieving
     against an entity-centroid index)."""
+    # accept either emb storage — fp16-packed binary (the embed checkpoint's
+    # default) or array<float>; no-op for arrays
+    queries = V.ensure_emb_array(queries, q_emb)
+    index = V.ensure_emb_array(index, i_emb)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb"))
     i = index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb"))
     scored = q.crossJoin(i)
@@ -184,6 +188,12 @@ def broadcast_knn(
     """
     spark = queries.sparkSession
     sc = spark.sparkContext
+    # accept either emb storage at every delivery mode: the index_path loader
+    # decodes fp16 natively; the packed-collect fallback and the query side
+    # normalize here (no-op for array<float>)
+    queries = V.ensure_emb_array(queries, q_emb)
+    if index is not None:
+        index = V.ensure_emb_array(index, i_emb)
     src = spark.read.parquet(index_path) if index_path is not None else index
     n = src.count()
     if n > max_index_rows:
@@ -305,7 +315,9 @@ def train_ivf_centroids(
     leaf heuristic. ``init_hash="md5"`` selects the SAME medoids as the
     relational twin (ivf_topk_relational's _md5_seed_hash init), letting
     tests align the two quantizers end-to-end."""
-    sdf = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
+    sdf = V.ensure_emb_array(
+        index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb")), "_emb"
+    )  # init collect + Lloyd's element_at sums need a real array column
     h = (
         _md5_seed_hash(F.col("_id"), seed)
         if init_hash == "md5"
@@ -391,6 +403,8 @@ def ivf_topk(
 
     Scale shape: the only broadcast is the (n_cells × d) centroid matrix;
     candidates come from a cell-id equi-join, never all-pairs."""
+    queries = V.ensure_emb_array(queries, q_emb)  # either emb storage format
+    index = V.ensure_emb_array(index, i_emb)
     cents = train_ivf_centroids(index, n_cells, i_id, i_emb, iterations, seed, init_hash)
     spark = index.sparkSession
     i_cells = _assign_cells(
@@ -608,6 +622,8 @@ def ivf_topk_relational(
     inside cosine, so the approx pass is exactly cosine(q, code)), and only
     the survivors are re-scored on full vectors (reorder=1000 tuning
     precedent: src/finetunings/evaluation/find_recall.py:28-37)."""
+    queries = V.ensure_emb_array(queries, q_emb)  # either emb storage format
+    index = V.ensure_emb_array(index, i_emb)
     vecs_i = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
     init = (
         vecs_i.withColumn("_h", _md5_seed_hash(F.col("_id"), seed))
@@ -701,6 +717,8 @@ def lsh_topk(
     candidates it does find."""
     from mel_spark.operators.blocking import hyperplane_blocks
 
+    queries = V.ensure_emb_array(queries, q_emb)  # either emb storage format
+    index = V.ensure_emb_array(index, i_emb)
     qb = hyperplane_blocks(
         queries.select(F.col(q_id).alias("_qid"), F.col(q_emb).alias("q_emb")),
         "_qid", "q_emb", dim=dim, n_planes=n_planes, bands=bands, seed=seed,

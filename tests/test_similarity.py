@@ -246,3 +246,50 @@ def test_ivf_fitted_matches_relational_with_aligned_init(spark, emb_df):
     a = {tuple(r) for r in fitted.select("query_id", "neighbor_id", "cos", "rank").collect()}
     b = {tuple(r) for r in twin.select("query_id", "neighbor_id", "cos", "rank").collect()}
     assert a == b
+
+
+def test_searchers_accept_f16_binary_emb_dataframes(spark, tmp_path):
+    """The embed checkpoint's DEFAULT storage is fp16-packed binary; every
+    searcher entry point (not just the index_path loader) must accept such a
+    DataFrame and return exactly what it returns for the decoded array form
+    (vectors are f16-representable, so decode is lossless here)."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from mel_spark.operators.similarity import (
+        broadcast_knn, brute_force_topk, ivf_topk, lsh_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 16)).astype(np.float16).astype(np.float32)
+    arr_df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    bin_df = spark.createDataFrame(
+        [(i, bytearray(vecs[i].astype("<f2").tobytes())) for i in range(40)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding", BinaryType())]),
+    )
+    qa, qb = arr_df.filter(F.col("vec_id") < 6), bin_df.filter(F.col("vec_id") < 6)
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    pair_cols = ["query_id", "neighbor_id", "cos", "rank"]
+    assert rows(brute_force_topk(qb, bin_df, k=3), pair_cols) == rows(
+        brute_force_topk(qa, arr_df, k=3), pair_cols
+    )
+    knn_cols = ["query_id", "neighbor_ids"]
+    got_bin = sorted((r["query_id"], tuple(r["neighbor_ids"]))
+                     for r in broadcast_knn(qb, bin_df, k=3).collect())
+    got_arr = sorted((r["query_id"], tuple(r["neighbor_ids"]))
+                     for r in broadcast_knn(qa, arr_df, k=3).collect())
+    assert got_bin == got_arr
+    assert rows(lsh_topk(qb, bin_df, k=3, dim=16, n_planes=8, bands=4), pair_cols) == rows(
+        lsh_topk(qa, arr_df, k=3, dim=16, n_planes=8, bands=4), pair_cols
+    )
+    kw = dict(k=3, n_cells=4, nprobe=2, iterations=2, seed=42)
+    assert rows(ivf_topk(qb, bin_df, **kw), pair_cols) == rows(
+        ivf_topk(qa, arr_df, **kw), pair_cols
+    )
