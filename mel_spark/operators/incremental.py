@@ -416,13 +416,19 @@ def incremental_update(
             return thunk().localCheckpoint(eager=False)
         return ckpt.get_or_compute(name, spark, thunk, fingerprint=fp)[0].drop(*drop)
 
-    # 1. ingest; drop idempotent re-sends of known mentions
-    new_m = _stage(
-        "ingest_delta",
-        lambda: ingest(new_repos).join(
-            mentions_b.select("mention_id"), "mention_id", "left_anti"
-        ),
-    )
+    # 1. ingest; drop idempotent re-sends of known mentions. Same shuffle
+    # discipline as known_csid_filter: the corpus mention_id stream is
+    # SCANNED through a semi-join whose build side is the batch's ids (a
+    # direct corpus anti-join would sort-merge — i.e. shuffle — the corpus
+    # id stream on every fold)
+    def _ingest_delta() -> DataFrame:
+        ingested = ingest(new_repos)
+        known_ids = mentions_b.select("mention_id").join(
+            F.broadcast(ingested.select("mention_id")), "mention_id", "left_semi"
+        )
+        return ingested.join(F.broadcast(known_ids), "mention_id", "left_anti")
+
+    new_m = _stage("ingest_delta", _ingest_delta)
 
     # 2. featurize only unseen contents — O(batch) broadcast memory at any
     # corpus size (see known_csid_filter's docstring for the plan shape)
@@ -454,7 +460,16 @@ def incremental_update(
     # as this fold's APPEND to the durable block index: the next fold's
     # probe structure already contains these keys via the chain read.
     def _delta_keys() -> DataFrame:
-        base_cl = mentions_b.select("csid", "lang").dropDuplicates(["csid", "lang"])
+        # the anti-join only needs base (csid, lang) combos for csids the
+        # BATCH mentions — semi-join the corpus stream down to those before
+        # deduplicating, so the dropDuplicates shuffle is batch-sized (a
+        # corpus-wide dedup here was measured growing linearly with |base|,
+        # BENCH/FOLD_SWEEP.md)
+        base_cl = (
+            mentions_b.select("csid", "lang")
+            .join(F.broadcast(new_m.select("csid").distinct()), "csid", "left_semi")
+            .dropDuplicates(["csid", "lang"])
+        )
         delta_cl = (
             new_m.select("csid", "lang")
             .dropDuplicates(["csid", "lang"])
@@ -585,20 +600,51 @@ def incremental_update(
     scored = _stage("pairs_delta", _scored)
     matches_new = pairs.match_pairs(scored, cfg.threshold)
 
-    # 5. incremental components over root-collapsed edges
-    roots_old = content_roots(mentions_b, clusters_b)
+    # 5. incremental components over root-collapsed edges. The roots lookup
+    # is restricted to the csids the fold can TOUCH — batch csids plus edge
+    # endpoints — so the mentions×clusters join that recovers content-level
+    # roots shuffles O(batch) rows and only SCANS the corpus tables (the
+    # unrestricted content_roots() here was measured growing linearly with
+    # |base|, BENCH/FOLD_SWEEP.md).
+    edge_csids = (
+        matches_new.select(F.col("mention_id_a").alias("csid"))
+        .unionByName(matches_new.select(F.col("mention_id_b").alias("csid")))
+        .distinct()
+    )
+    probe_csids = edge_csids.unionByName(new_m.select("csid")).distinct()
+    mentions_touch = mentions_b.select("csid", "mention_id").join(
+        F.broadcast(probe_csids), "csid", "left_semi"
+    )
+    roots_touch = content_roots(mentions_touch, clusters_b)
     cc_dir = _os.path.join(checkpoint_dir, "cc_rounds") if checkpoint_dir else None
     remap = merge_components(
-        matches_new, roots_old, checkpoint_dir=cc_dir, input_fingerprint=fp
+        matches_new, roots_touch, checkpoint_dir=cc_dir, input_fingerprint=fp
     ).select(
         F.col("mention_id").alias("_node"), F.col("cluster_id").alias("_new_root")
     )
 
-    # 6. final content-level assignment: old csid → remap(root) else root;
-    #    new csid → remap(csid) else csid (singleton)
-    def _clusters() -> DataFrame:
+    # 6. assignment DELTA over TOUCHED clusters only. A base cluster can
+    # change — merge into another, or have its min-mid label move — iff it
+    # contains a batch csid or an edge endpoint, i.e. iff its base label is
+    # a roots_touch root (clusters only ever GAIN members; an untouched
+    # cluster keeps its exact membership, hence its min-mid label). So the
+    # relabel runs over the members of those clusters plus the new
+    # mentions — O(batch · cluster size) rows — never the full corpus; the
+    # corpus assignment/mention tables are scanned through broadcast
+    # semi-joins, not shuffled. Byte-identity with the full-run relabel is
+    # asserted by tests/test_incremental.py.
+    def _clusters_delta() -> DataFrame:
+        touched_base = roots_touch.select(F.col("root").alias("cluster_id")).distinct()
+        touched_members = clusters_b.join(
+            F.broadcast(touched_base), "cluster_id", "left_semi"
+        )
+        tm = touched_members.select(
+            "mention_id", F.col("cluster_id").alias("_base_root")
+        ).join(mentions_b.select("mention_id", "mid", "csid"), "mention_id")
         old_assign = (
-            roots_old.join(remap, roots_old["root"] == remap["_node"], "left")
+            tm.select("csid", F.col("_base_root").alias("root"))
+            .distinct()
+            .join(remap, F.col("root") == F.col("_node"), "left")
             .select("csid", F.coalesce("_new_root", "root").alias("_root"))
         )
         new_assign = (
@@ -607,36 +653,35 @@ def incremental_update(
             .select("csid", F.coalesce("_new_root", F.col("csid")).alias("_root"))
         )
         assign = old_assign.unionByName(new_assign)
-        # expand to mentions and relabel deterministically (min mid per root),
-        # matching pipeline.run_pipeline's output contract exactly
-        mentions_all = mentions_b.unionByName(new_m)
-        expanded = mentions_all.select("mid", "mention_id", "csid").join(assign, "csid")
+        expanded = (
+            tm.select("mid", "mention_id", "csid")
+            .unionByName(new_m.select("mid", "mention_id", "csid"))
+            .join(assign, "csid")
+        )
+        # relabel deterministically (min mid per final root) — min over the
+        # COMPLETE membership of each touched group, matching
+        # pipeline.run_pipeline's output contract exactly
         mins = expanded.groupBy("_root").agg(F.min("mid").alias("cluster_id"))
-        return expanded.join(mins, "_root").select("mention_id", "cluster_id")
+        rel = expanded.join(mins, "_root").select("mention_id", "cluster_id")
+        base_sub = clusters_b.join(
+            F.broadcast(rel.select("mention_id")), "mention_id", "left_semi"
+        ).select("mention_id", F.col("cluster_id").alias("_old"))
+        return (
+            rel.join(base_sub, "mention_id", "left")
+            .filter(F.col("_old").isNull() | (F.col("_old") != F.col("cluster_id")))
+            .select("mention_id", "cluster_id")
+        )
 
-    if ckpt is None:
-        clusters = _clusters().localCheckpoint(eager=False)
-    else:
-        # O(batch) durable state: the fold writes only its assignment DELTA —
-        # new mentions plus mentions whose (cluster_id) changed (root merges
-        # AND min-mid relabels when a new member becomes a cluster's minimum).
-        # The full table is reconstructed by override through the chain.
-        def _clusters_delta() -> DataFrame:
-            cl = _clusters()
-            base_asg = clusters_b.select(
-                "mention_id", F.col("cluster_id").alias("_old")
-            )
-            return (
-                cl.join(base_asg, "mention_id", "left")
-                .filter(F.col("_old").isNull() | (F.col("_old") != F.col("cluster_id")))
-                .select("mention_id", "cluster_id")
-            )
-
-        delta = _stage("clusters_delta", _clusters_delta)
+    delta = _stage("clusters_delta", _clusters_delta)
+    if ckpt is not None:
         _write_parent(checkpoint_dir, base_checkpoint)
-        clusters = clusters_b.join(
-            delta.select("mention_id"), "mention_id", "left_anti"
-        ).unionByName(delta)
+    # full updated assignment = override the base with the delta (identical
+    # to a from-scratch relabel per the touched-clusters argument above)
+    clusters = clusters_b.join(
+        delta.select("mention_id"), "mention_id", "left_anti"
+    ).unionByName(delta)
+    if ckpt is None:
+        clusters = clusters.localCheckpoint(eager=False)
 
     return {
         "mentions": mentions_b.unionByName(new_m),
