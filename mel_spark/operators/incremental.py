@@ -363,6 +363,7 @@ def incremental_update(
     cfg: ERConfig = ERConfig(),
     checkpoint_dir: str | None = None,
     input_token: str = "",
+    plan_capture: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Fold ``new_repos`` into the completed run at ``base_checkpoint``.
 
@@ -374,6 +375,12 @@ def incremental_update(
     the config and base identity into each delta stage's checkpoint
     fingerprint so a rerun with a different batch/threshold recomputes instead
     of serving stale stages (same protocol as pipeline.run_pipeline).
+
+    ``plan_capture``, when given, records each delta stage's physical plan
+    string (keyed by stage name, plus ``clusters_full`` for the override
+    union) BEFORE checkpointing hides it behind an RDD/parquet scan — the
+    shuffle-discipline regression test audits these for corpus-side
+    exchanges.
     """
     import hashlib as _hashlib
     import json as _json
@@ -412,6 +419,10 @@ def incremental_update(
     ).hexdigest()
 
     def _stage(name, thunk) -> DataFrame:
+        if plan_capture is not None:
+            df = thunk()
+            plan_capture[name] = df._jdf.queryExecution().executedPlan().toString()
+            thunk = lambda: df  # noqa: E731 — plan already built; reuse it
         if ckpt is None:
             return thunk().localCheckpoint(eager=False)
         return ckpt.get_or_compute(name, spark, thunk, fingerprint=fp)[0].drop(*drop)
@@ -615,7 +626,10 @@ def incremental_update(
     mentions_touch = mentions_b.select("csid", "mention_id").join(
         F.broadcast(probe_csids), "csid", "left_semi"
     )
-    roots_touch = content_roots(mentions_touch, clusters_b)
+    # broadcast the batch-sized side into content_roots' inner join so the
+    # corpus clusters table is SCANNED (broadcast-hash probe), not shuffled —
+    # er_job disables auto-broadcast, so the hint must be explicit
+    roots_touch = content_roots(F.broadcast(mentions_touch), clusters_b)
     cc_dir = _os.path.join(checkpoint_dir, "cc_rounds") if checkpoint_dir else None
     remap = merge_components(
         matches_new, roots_touch, checkpoint_dir=cc_dir, input_fingerprint=fp
@@ -638,8 +652,10 @@ def incremental_update(
         touched_members = clusters_b.join(
             F.broadcast(touched_base), "cluster_id", "left_semi"
         )
-        tm = touched_members.select(
-            "mention_id", F.col("cluster_id").alias("_base_root")
+        tm = F.broadcast(
+            touched_members.select(
+                "mention_id", F.col("cluster_id").alias("_base_root")
+            )
         ).join(mentions_b.select("mention_id", "mid", "csid"), "mention_id")
         old_assign = (
             tm.select("csid", F.col("_base_root").alias("root"))
@@ -676,10 +692,17 @@ def incremental_update(
     if ckpt is not None:
         _write_parent(checkpoint_dir, base_checkpoint)
     # full updated assignment = override the base with the delta (identical
-    # to a from-scratch relabel per the touched-clusters argument above)
+    # to a from-scratch relabel per the touched-clusters argument above);
+    # the anti-join's build side is the batch-sized delta id set — broadcast
+    # it so reconstructing the full table scans the corpus instead of
+    # shuffling it
     clusters = clusters_b.join(
-        delta.select("mention_id"), "mention_id", "left_anti"
+        F.broadcast(delta.select("mention_id")), "mention_id", "left_anti"
     ).unionByName(delta)
+    if plan_capture is not None:
+        plan_capture["clusters_full"] = (
+            clusters._jdf.queryExecution().executedPlan().toString()
+        )
     if ckpt is None:
         clusters = clusters.localCheckpoint(eager=False)
 

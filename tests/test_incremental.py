@@ -436,3 +436,57 @@ def test_probe_keys_hot_set_counts_base_plus_delta(spark):
     ).count()
     assert raw == 150 * 150
     assert 0 < salted < raw  # the aggregate-hot key WAS salted
+
+
+def test_fold_clusters_plan_scans_corpus_never_shuffles_it(spark, tmp_path):
+    """Whole-fold shuffle discipline: in the physical plan of the fold's
+    updated assignment, every parquet scan of a BASE checkpoint table must
+    feed a broadcast join as the STREAMED side — its nearest exchange/join
+    ancestor is a Broadcast*Join, never an `Exchange hashpartitioning`
+    (corpus shuffled) and never a `BroadcastExchange` (corpus collected to
+    the driver). er_job runs with auto-broadcast disabled, so every
+    batch-sized build side must carry an explicit hint — this test pins
+    that property for the fold end-to-end, not just known_csid_filter."""
+    tables = generate_repos(GenConfig(n_files=300, seed=31))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10)) < 7
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(in_a), base)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plans: dict[str, str] = {}
+    try:
+        # no fold checkpoint dir: delta stages become lazy localCheckpoints,
+        # so in each CAPTURED stage plan the only parquet scans are the
+        # base-corpus tables (earlier deltas appear as Scan ExistingRDD)
+        incremental_update(spark, base, repos.filter(~in_a), plan_capture=plans)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    assert "clusters_delta" in plans and "clusters_full" in plans
+    audited_scans = 0
+    for stage, plan in plans.items():
+        nodes = _plan_nodes(plan)
+        scans = [
+            i
+            for i, (_, t) in enumerate(nodes)
+            if "Scan parquet" in t or "FileScan" in t
+        ]
+        audited_scans += len(scans)
+        for i in scans:
+            depth = nodes[i][0]
+            hit = None
+            for j in range(i - 1, -1, -1):
+                d, t = nodes[j]
+                if d < depth:
+                    depth = d
+                    if "Exchange" in t or "Join" in t:
+                        hit = t
+                        break
+            assert hit is not None and "Join" in hit and "Broadcast" in hit, (
+                f"[{stage}] corpus scan {nodes[i][1]!r} nearest exchange/join "
+                f"ancestor is {hit!r} — corpus must stream through a "
+                f"broadcast join:\n{plan}"
+            )
+    assert audited_scans > 0, f"no base-table scans audited: {list(plans)}"
