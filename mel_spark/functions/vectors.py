@@ -188,6 +188,18 @@ def featurize_map(
             if D == 0:
                 yield pd.DataFrame({id_col: [], "emb": [], "xs": [], "bands": []})
                 continue
+            # contract: >=1 token hash per document. ingest() canonicalizes
+            # NULL content to '' (which tokenizes to one empty token), so a
+            # None/empty array here means a caller bypassed that boundary —
+            # fail with the contract named instead of an IndexError three
+            # layers into the shingle kernel.
+            bad = [t is None or len(t) == 0 for t in th]
+            if any(bad):
+                raise ValueError(
+                    "featurize_map: document with NULL/zero-length token array "
+                    f"(ids {pdf[id_col][bad].tolist()[:5]}...). Upstream must "
+                    "canonicalize NULL content to '' (pipeline.ingest does)."
+                )
             lens = np.fromiter((len(t) for t in th), np.int64, D)
             flat = (
                 np.concatenate([np.asarray(t, np.int64) for t in th])

@@ -89,7 +89,14 @@ def ingest(
 
     Columns are cast to the contract schema (input_hint: all string) so
     schema-drifted sources (e.g. an empty parquet with inferred types) fail
-    soft instead of breaking sha2 type checks.
+    soft instead of breaking sha2 type checks. NULL ``content`` is
+    canonicalized to the EMPTY document here — at the 10^12-file tier null
+    bodies are a certainty, sha2(NULL) is NULL (so every null row would
+    collapse onto one csid with a null content_sha), and the tokenizer's
+    split(NULL) is NULL, which crashes the Arrow featurizer mid-stage.
+    Canonicalizing at the identity boundary gives nulls the same
+    deterministic semantics as empty files (one '' token, a real sha) and
+    keeps the invariant that every ingested row survives every stage.
 
     ``mid`` = xxhash64(mention_id) is the 8-byte WORKING id every downstream
     shuffle keys on (blocks, pairs, connected components): a 64-char sha hex
@@ -100,7 +107,9 @@ def ingest(
     rows); at the 10^12-file tier swap ``mid`` for a 128-bit (2-long) key —
     same plan shape, double key width."""
     repos = repos.select(*[F.col(c).cast("string").alias(c) for c in
-                           ("repo", "path", "commit", "lang", "content")])
+                           ("repo", "path", "commit", "lang")],
+                         F.coalesce(F.col("content").cast("string"),
+                                    F.lit("")).alias("content"))
     if redirects is not None:
         from mel_spark.operators.remap import remap_ids
 

@@ -121,6 +121,26 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
         # re-delivered although its fold (all delta stages) is already green
         # and is the chain head. Nothing to do.
         return {}
+    from mel_spark.operators.incremental import _parent_of
+
+    prior_parent = _parent_of(fold_dir)
+    if prior_parent is not None and os.path.abspath(prior_parent) != os.path.abspath(
+        state.current_base()
+    ):
+        # this epoch dir was already folded onto a DIFFERENT base — it is an
+        # interior link of the chain (reachable only when the offsets
+        # checkpoint was lost/reset while _HEAD.json survived, re-delivering
+        # an old epoch id). Re-folding it onto the current head would
+        # overwrite its parent pointer with a descendant — a CYCLE that makes
+        # every chain read loop forever. The two checkpoints are one logical
+        # unit (see StreamingFoldState docstring); refuse loudly instead of
+        # corrupting the chain.
+        raise ValueError(
+            f"fold_micro_batch: epoch dir {fold_dir} already folded onto "
+            f"{prior_parent}, but the chain head is {state.current_base()} — "
+            "the stream's offsets checkpoint and fold_root/_HEAD.json have "
+            "diverged (they must be kept or deleted together)."
+        )
     out = incremental_update(
         batch.sparkSession,
         state.current_base(),

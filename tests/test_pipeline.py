@@ -153,3 +153,52 @@ def test_fp16_embed_storage_shrinks_checkpoint_and_preserves_clusters(spark, tmp
     b = out32["clusters"].select("mention_id", "cluster_id")
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_null_content_canonicalized_to_empty_doc(spark, tmp_path):
+    """NULL content is a certainty at the 10^12-file tier. ingest()
+    canonicalizes it to the EMPTY document: the row survives every stage
+    (featurize would crash on a NULL token array), gets the sha256('') csid —
+    i.e. null bodies and empty bodies are the same entity — and the final
+    assignment covers every ingested mention."""
+    from mel_spark.pipeline import ingest, run_pipeline
+
+    rows = [
+        ("r1", "a.py", "c1", "py", "def f(): pass"),
+        ("r2", "b.py", "c2", "py", None),   # null body
+        ("r3", "c.py", "c3", "py", ""),     # empty body
+        ("r4", "d.py", "c4", "py", None),   # another null body
+    ]
+    repos = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+
+    m = ingest(repos)
+    import hashlib
+
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    shas = {r["path"]: r["content_sha"] for r in m.select("path", "content_sha").collect()}
+    assert shas["b.py"] == shas["c.py"] == shas["d.py"] == empty_sha
+
+    out = run_pipeline(spark, repos, str(tmp_path / "ckpt"))
+    clusters = out["clusters"].select("mention_id", "cluster_id").collect()
+    assert len(clusters) == 4  # every ingested row has an assignment
+    feats = out["embedded"]
+    assert feats.filter(F.col("emb").isNull()).count() == 0
+
+
+def test_featurize_map_rejects_null_token_arrays():
+    """A caller that bypasses ingest's canonicalization gets the contract
+    named in the error, not an IndexError in the shingle kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from mel_spark.functions.vectors import featurize_map
+
+    fn, _ = featurize_map()
+    pdf = pd.DataFrame(
+        {
+            "csid": np.array([1, 2], dtype=np.int64),
+            "_th": [np.array([5, 7, 9], dtype=np.int64), np.array([], dtype=np.int64)],
+        }
+    )
+    with pytest.raises(ValueError, match="NULL/zero-length token array"):
+        list(fn(iter([pdf])))

@@ -319,3 +319,36 @@ def test_head_guard_normalizes_path_spelling(spark, tmp_path):
     )
     assert st2.current_base() == st.current_base()
     assert fold_micro_batch(st2, batch, epoch_id=0) == {}  # guard hit, no-op
+
+
+def test_diverged_offsets_and_head_refuse_to_fold(spark, tmp_path):
+    """Offsets checkpoint lost while fold_root/_HEAD.json survives: the stream
+    re-delivers an OLD epoch id while the durable head is further along.
+    Re-folding that interior epoch onto the current head would overwrite its
+    parent pointer with its own descendant — a cycle that makes every chain
+    read loop forever. The guard must refuse loudly instead of corrupting."""
+    from mel_spark.datagen import GenConfig, generate_repos
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming.er_stream import StreamingFoldState, fold_micro_batch
+
+    tables = generate_repos(GenConfig(n_files=120, seed=31))
+    repos = spark.createDataFrame(tables["repos"])
+    shard = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard == 0), base)
+
+    st = StreamingFoldState(base_checkpoint=base, fold_root=str(tmp_path / "folds"))
+    fold_micro_batch(st, repos.filter(shard == 1), 0)
+    fold_micro_batch(st, repos.filter(shard == 2), 1)
+
+    # offsets reset → a fresh invocation re-delivers epoch 0; the durable
+    # head is epoch 1 and epoch 0's recorded parent is the base
+    st2 = StreamingFoldState(base_checkpoint=base, fold_root=str(tmp_path / "folds"))
+    assert st2.current_base().endswith("epoch_000000000001")
+    with pytest.raises(ValueError, match="diverged"):
+        fold_micro_batch(st2, repos.filter(shard == 1), 0)
+
+    # the chain itself is untouched and still reads flat
+    from mel_spark.operators.incremental import read_clusters_chain
+
+    assert read_clusters_chain(spark, st2.current_base()).count() == repos.count()
