@@ -251,12 +251,28 @@ def probe_keys(
     probe iff it would share a salted sub-block in a full run). Without it the
     fallback counts base+delta occurrences here — one extra pass over the
     corpus key stream that the persisted sizes amortize to zero.
+
+    Plan shape under salting: the probe SPLITS into a cold-key join on the
+    RAW block_key and a hot-key join on the salted key, instead of rewriting
+    every row's key with one when/otherwise expression. Identical output
+    (cold and hot key sets are disjoint, so the shared cap window sees the
+    same partitions), but the cold join's corpus side keeps its storage
+    partitioning — a broadcast anti-join filter preserves outputPartitioning,
+    so over a BUCKETED block index (sources/bucketed.py) the cold corpus
+    stream joins with NO Exchange even when the delta is too big to
+    broadcast; only the (few) hot keys' rows ever reshuffle.
     Output: (mention_id_a < mention_id_b, block_key), distinct."""
     delta_side = delta_keys.select("block_key", F.col("mention_id").alias("_new"))
     base_side = base_keys.select("block_key", F.col("mention_id").alias("_old"))
+
+    def _join(d: DataFrame, b: DataFrame) -> DataFrame:
+        if broadcast_delta:
+            d = F.broadcast(d)
+        return d.join(b, "block_key")
+
     if salt_threshold is not None:
         if hot_keys is not None:
-            hot = hot_keys.select("block_key", F.lit(True).alias("_hot"))
+            hot = hot_keys.select("block_key")
         else:
             # fallback hot-key set, counted over base+delta totals (matching
             # salt_hot_blocks' total-size semantics); combiner-friendly
@@ -267,27 +283,23 @@ def probe_keys(
                 .groupBy("block_key")
                 .agg(F.count(F.lit(1)).alias("_sz"))
                 .filter(F.col("_sz") > salt_threshold)
-                .select("block_key", F.lit(True).alias("_hot"))
+                .select("block_key")
             )
+        hot = F.broadcast(hot)
 
         def _salted(df: DataFrame, member: str) -> DataFrame:
             salt = F.pmod(F.xxhash64("block_key", member), F.lit(n_salts))
-            return (
-                df.join(F.broadcast(hot), "block_key", "left")
-                .withColumn(
-                    "block_key",
-                    F.when(
-                        F.col("_hot").isNotNull(), F.xxhash64("block_key", salt)
-                    ).otherwise(F.col("block_key")),
-                )
-                .drop("_hot")
+            return df.join(hot, "block_key", "left_semi").withColumn(
+                "block_key", F.xxhash64("block_key", salt)
             )
 
-        delta_side = _salted(delta_side, "_new")
-        base_side = _salted(base_side, "_old")
-    if broadcast_delta:
-        delta_side = F.broadcast(delta_side)
-    hits = delta_side.join(base_side, "block_key").filter(F.col("_new") != F.col("_old"))
+        hits = _join(
+            delta_side.join(hot, "block_key", "left_anti"),
+            base_side.join(hot, "block_key", "left_anti"),
+        ).unionByName(_join(_salted(delta_side, "_new"), _salted(base_side, "_old")))
+    else:
+        hits = _join(delta_side, base_side)
+    hits = hits.filter(F.col("_new") != F.col("_old"))
     w = Window.partitionBy("_new", "block_key").orderBy("_old")
     hits = hits.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= max_candidates_per_key
@@ -364,6 +376,8 @@ def incremental_update(
     checkpoint_dir: str | None = None,
     input_token: str = "",
     plan_capture: dict[str, str] | None = None,
+    base_keys_table: str | None = None,
+    broadcast_probe_delta: bool = True,
 ) -> dict[str, DataFrame]:
     """Fold ``new_repos`` into the completed run at ``base_checkpoint``.
 
@@ -381,6 +395,14 @@ def incremental_update(
     union) BEFORE checkpointing hides it behind an RDD/parquet scan — the
     shuffle-discipline regression test audits these for corpus-side
     exchanges.
+
+    ``base_keys_table`` overrides the probe's corpus side with a catalog
+    table — normally the BUCKETED block index (sources/bucketed.py), whose
+    content is identical to the chain read. Pair it with
+    ``broadcast_probe_delta=False`` for batches past the broadcast ceiling:
+    the probe becomes a sort-merge join where only the delta side exchanges
+    (the bucketed corpus scan carries no Exchange — plan pinned by
+    tests/test_bucketed.py).
     """
     import hashlib as _hashlib
     import json as _json
@@ -509,8 +531,13 @@ def incremental_update(
     delta_keys = _stage("block_index_delta", _delta_keys)
     # the corpus side of the probe: the base run's materialized block index
     # (plus any prior folds' deltas), READ — never recomputed from features
+    if base_keys_table is not None:
+        base_keys = spark.table(base_keys_table)
+    else:
+        base_keys = None
     try:
-        base_keys = read_stage_chain(spark, base_checkpoint, "block_index")
+        if base_keys is None:
+            base_keys = read_stage_chain(spark, base_checkpoint, "block_index")
     except FileNotFoundError:
         # base predates the block_index stage (it has ingest/embed/clusters
         # but no durable index): derive the keys from the base features in
@@ -586,7 +613,8 @@ def incremental_update(
         # shuffle-free join even without the broadcast)
         db_pairs = probe_keys(
             delta_keys, base_keys, max_candidates_per_key=cfg.max_block_size,
-            broadcast_delta=True, salt_threshold=cfg.salt_threshold,
+            broadcast_delta=broadcast_probe_delta,
+            salt_threshold=cfg.salt_threshold,
             hot_keys=hot_keys,
         )
         cand = (
