@@ -48,6 +48,34 @@ def main(argv: list[str] | None = None) -> int:
         help="checkpoint dir of a COMPLETED run: incrementally fold the "
         "--input/--synthesize batch into it instead of running from scratch",
     )
+    p.add_argument(
+        "--bucketed-index",
+        help="catalog table name for the bucketed block-index probe table "
+        "(sources/bucketed.py). Full run: (re)built from the run's block "
+        "index. Fold: validated/created from the base chain, used as the "
+        "probe's corpus side, and the fold's delta keys appended exactly "
+        "once (fenced by a per-fold marker)",
+    )
+    p.add_argument(
+        "--bucketed-index-path",
+        help="external location for --bucketed-index so it survives "
+        "spark-submit invocations under the default in-memory catalog "
+        "(a metastore deployment omits this)",
+    )
+    p.add_argument(
+        "--bucketed-index-buckets",
+        type=int,
+        default=None,
+        help="bucket count when (re)building --bucketed-index "
+        "(default: sources/bucketed.py DEFAULT_BUCKETS)",
+    )
+    p.add_argument(
+        "--probe-sort-merge",
+        action="store_true",
+        help="fold probe: do NOT broadcast the delta key set — with "
+        "--bucketed-index the probe runs as a sort-merge join where only "
+        "the delta side exchanges (for batches past the broadcast ceiling)",
+    )
     args = p.parse_args(argv)
     if args.update_base:
         import os as _os
@@ -96,6 +124,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.update_base:
         from mel_spark.operators.incremental import incremental_update
 
+        base_keys_table = None
+        if args.bucketed_index:
+            from mel_spark.sources import bucketed
+
+            kw = {"path": args.bucketed_index_path}
+            if args.bucketed_index_buckets is not None:
+                kw["n_buckets"] = args.bucketed_index_buckets
+            bucketed.ensure_bucketed_index(
+                spark, args.bucketed_index, args.update_base, **kw
+            )
+            base_keys_table = args.bucketed_index
         inc = incremental_update(
             spark,
             args.update_base,
@@ -107,10 +146,26 @@ def main(argv: list[str] | None = None) -> int:
                 if args.synthesize
                 else str(args.input)
             ),
+            base_keys_table=base_keys_table,
+            broadcast_probe_delta=not args.probe_sort_merge,
         )
         inc["clusters"].select("mention_id", "cluster_id").write.mode(
             "overwrite"
         ).parquet(f"{args.output}/clusters.parquet")
+        if args.bucketed_index and not bucketed.fold_appended(
+            args.checkpoint, args.bucketed_index
+        ):
+            # fold is green (every delta stage checkpointed above): append the
+            # delta keys exactly once so the table keeps matching the chain
+            from mel_spark.sources.checkpoint import CheckpointManager as _Mgr
+
+            bucketed.append_bucketed_index(
+                _Mgr(args.checkpoint)
+                .read("block_index_delta", spark)
+                .select("block_key", "mention_id"),
+                args.bucketed_index,
+            )
+            bucketed.record_fold_appended(args.checkpoint, args.bucketed_index)
         n_survivors = None
         if args.emit_survivors:
             from mel_spark.operators.dedup import select_survivors
@@ -143,11 +198,25 @@ def main(argv: list[str] | None = None) -> int:
         if n_survivors is not None:
             metrics["survivors"] = n_survivors
         if gold is not None:
+            from pyspark.sql import functions as F
             from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf
 
+            # fold-mode gold covers only the folded batch, while the predicted
+            # assignment spans base ∪ batch — evaluate on the gold-covered
+            # mention set, else every base-side pair counts as a false positive
+            gold_m = F.broadcast(gold.select("mention_id").distinct())
+            pred = pairs_from_clusters(inc["clusters"], "mention_id", "cluster_id")
+            pred = pred.join(
+                gold_m.withColumnRenamed("mention_id", "mention_id_a"),
+                "mention_id_a",
+                "left_semi",
+            ).join(
+                gold_m.withColumnRenamed("mention_id", "mention_id_b"),
+                "mention_id_b",
+                "left_semi",
+            )
             m = pairwise_prf(
-                pairs_from_clusters(inc["clusters"], "mention_id", "cluster_id"),
-                pairs_from_clusters(gold, "mention_id", "entity_id"),
+                pred, pairs_from_clusters(gold, "mention_id", "entity_id")
             )
             metrics.update(
                 {k: round(v, 6) if isinstance(v, float) else v for k, v in m.items()}
@@ -159,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
         f"synthesize:{args.synthesize}:{args.seed}" if args.synthesize else str(args.input)
     )
     out = run_pipeline(spark, repos, args.checkpoint, cfg, input_token=input_token)
+    if args.bucketed_index:
+        from mel_spark.sources import bucketed
+
+        kw = {"path": args.bucketed_index_path}
+        if args.bucketed_index_buckets is not None:
+            kw["n_buckets"] = args.bucketed_index_buckets
+        bucketed.ensure_bucketed_index(spark, args.bucketed_index, args.checkpoint, **kw)
     from mel_spark.sources.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(args.checkpoint)

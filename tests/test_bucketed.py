@@ -150,6 +150,101 @@ def test_append_bucketed_index_keeps_spec_and_content(spark, key_sets, tmp_path)
         append_bucketed_index(delta, "bidx_never_written")
 
 
+def test_ensure_bucketed_index_lifecycle(spark, tmp_path):
+    """The production lifecycle er_job drives (jobs/er_job.py --bucketed-index):
+    create from the base chain → validate-noop → re-register on a fresh
+    catalog from the external location → stay valid across a MAINTAINED fold
+    (append + marker) → detect an UNMAINTAINED fold and rebuild → refuse to
+    rebuild into a foreign directory."""
+    from mel_spark.datagen import GenConfig, generate_repos
+    from mel_spark.operators.incremental import incremental_update, read_stage_chain
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.sources.bucketed import (
+        ensure_bucketed_index,
+        fold_appended,
+        record_fold_appended,
+    )
+    from mel_spark.sources.checkpoint import CheckpointManager
+
+    tables = generate_repos(GenConfig(n_files=150, seed=31))
+    repos = spark.createDataFrame(tables["repos"])
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10))
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(h < 6), base)
+
+    tbl, loc = "bidx_life", str(tmp_path / "bidx_life")
+
+    def tbl_canon():
+        return _canon(spark.table(tbl).select("block_key", "mention_id"))
+
+    def chain_canon(ckpt):
+        return _canon(
+            read_stage_chain(spark, ckpt, "block_index").select(
+                "block_key", "mention_id"
+            )
+        )
+
+    try:
+        # create from the base chain
+        assert ensure_bucketed_index(spark, tbl, base, n_buckets=4, path=loc) is True
+        assert tbl_canon() == chain_canon(base)
+        # clean validation: nothing rebuilt
+        assert ensure_bucketed_index(spark, tbl, base, n_buckets=4, path=loc) is False
+
+        # fresh-session simulation: the in-memory catalog entry is gone, the
+        # files + meta sidecar remain → re-registered, bucket spec preserved
+        spark.sql(f"DROP TABLE {tbl}")
+        assert ensure_bucketed_index(spark, tbl, base, n_buckets=4, path=loc) is False
+        spec = [
+            r
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+            if r["col_name"] == "Num Buckets"
+        ]
+        assert spec and int(spec[0]["data_type"]) == 4
+
+        # maintained fold: probe via the table, append the delta, drop marker
+        f1 = str(tmp_path / "f1")
+        incremental_update(
+            spark,
+            base,
+            repos.filter(h == 6),
+            checkpoint_dir=f1,
+            base_keys_table=tbl,
+            broadcast_probe_delta=False,
+        )
+        append_bucketed_index(
+            CheckpointManager(f1)
+            .read("block_index_delta", spark)
+            .select("block_key", "mention_id"),
+            tbl,
+        )
+        record_fold_appended(f1, tbl)
+        assert fold_appended(f1, tbl)
+        assert ensure_bucketed_index(spark, tbl, f1, n_buckets=4, path=loc) is False
+        assert tbl_canon() == chain_canon(f1)
+
+        # UNMAINTAINED fold (no append/marker): validation from its head must
+        # detect the missing delta and rebuild from the chain
+        f2 = str(tmp_path / "f2")
+        incremental_update(spark, f1, repos.filter(h > 6), checkpoint_dir=f2)
+        with pytest.warns(UserWarning, match="diverged"):
+            assert (
+                ensure_bucketed_index(spark, tbl, f2, n_buckets=4, path=loc) is True
+            )
+        assert tbl_canon() == chain_canon(f2)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # never rebuild into a directory we don't provably own
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "keep.txt").write_text("not ours")
+    with pytest.raises(ValueError, match="refusing"):
+        ensure_bucketed_index(
+            spark, "bidx_foreign", base, n_buckets=4, path=str(foreign)
+        )
+
+
 def test_fold_with_bucketed_index_equals_default_fold(spark, tmp_path):
     """End-to-end: a fold probing a bucketed index table (delta NOT broadcast)
     emits byte-identical clusters to the default chain-read + broadcast
