@@ -46,6 +46,16 @@ def main(argv: list[str] | None = None) -> int:
                         "head's parent-pointer depth reaches this (0 = off)")
     p.add_argument("--max-files-per-trigger", type=int, default=0,
                    help="bound epoch size (0 = drain everything into one epoch)")
+    p.add_argument("--bucketed-index",
+                   help="catalog table name for the bucketed block-index probe "
+                        "table, maintained per epoch (sources/bucketed.py)")
+    p.add_argument("--bucketed-index-path",
+                   help="external location for --bucketed-index (survives "
+                        "invocations without a metastore)")
+    p.add_argument("--bucketed-index-buckets", type=int, default=None)
+    p.add_argument("--probe-sort-merge", action="store_true",
+                   help="probe without broadcasting the delta key set (epochs "
+                        "past the broadcast ceiling)")
     args = p.parse_args(argv)
 
     from mel_spark.pipeline import ERConfig
@@ -69,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
         cfg=cfg,
         compact_every=args.compact_every,
         max_chain_depth=args.max_chain_depth,
+        bucketed_table=args.bucketed_index,
+        bucketed_path=args.bucketed_index_path,
+        bucketed_buckets=args.bucketed_index_buckets,
+        probe_broadcast_delta=not args.probe_sort_merge,
     )
     q = start_er_stream(stream, state, offsets_dir=args.offsets, trigger_once=True)
     q.awaitTermination()

@@ -532,7 +532,12 @@ def incremental_update(
     # the corpus side of the probe: the base run's materialized block index
     # (plus any prior folds' deltas), READ — never recomputed from features
     if base_keys_table is not None:
-        base_keys = spark.table(base_keys_table)
+        from mel_spark.sources.bucketed import read_bucketed_index
+
+        # refresh-then-read: a prior fold/compaction may have appended to or
+        # rebuilt the table from a different SessionState (see
+        # read_bucketed_index docstring)
+        base_keys = read_bucketed_index(spark, base_keys_table)
     else:
         base_keys = None
     try:

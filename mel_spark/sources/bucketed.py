@@ -75,6 +75,10 @@ def write_bucketed_index(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+    # drop any cached file listing from a previous incarnation of this table
+    # name — a rebuild deletes the old part files, and a stale relation cache
+    # would make the next read chase them (FAILED_READ_FILE)
+    df.sparkSession.catalog.refreshTable(table)
 
 
 def append_bucketed_index(df: DataFrame, table: str) -> None:
@@ -96,13 +100,21 @@ def append_bucketed_index(df: DataFrame, table: str) -> None:
         .format("parquet")
         .saveAsTable(table)
     )
+    spark.catalog.refreshTable(table)
 
 
 def read_bucketed_index(spark: SparkSession, table: str) -> DataFrame:
     """The probe source: pass this as ``incremental_update(...,
     base_keys_table=...)`` (or directly as probe_keys' base side with
     ``broadcast_delta=False``) and the corpus side of the probe join carries
-    no Exchange."""
+    no Exchange.
+
+    Refreshes the relation first: appends/rebuilds may have happened in a
+    DIFFERENT SessionState over the same shared catalog (Structured Streaming
+    runs foreachBatch in a cloned session, whose refreshTable does not touch
+    this session's relation cache), and a stale cached file listing fails the
+    read outright after a rebuild."""
+    spark.catalog.refreshTable(table)
     return spark.table(table)
 
 
@@ -218,6 +230,7 @@ def ensure_bucketed_index(
     base_checkpoint: str,
     n_buckets: int = DEFAULT_BUCKETS,
     path: str | None = None,
+    force_rebuild: bool = False,
 ) -> bool:
     """Create-or-validate the bucketed probe table for the chain rooted at
     ``base_checkpoint``. Order of attempts:
@@ -232,23 +245,28 @@ def ensure_bucketed_index(
        shuffle-write of the corpus index, the same pass a compaction pays —
        and stamp the meta sidecar with the creation base + bucket spec.
 
+    ``force_rebuild`` skips registration + validation and rebuilds outright —
+    the post-compaction path (compaction removes the parent pointers the
+    validation walk needs, and the chain read it rebuilds from is now flat).
+
     Returns True when the table was (re)built, False when an existing table
     validated clean."""
     from mel_spark.operators.incremental import read_stage_chain
 
-    if not spark.catalog.tableExists(table) and path is not None and os.path.exists(
-        os.path.join(path, META_FILE)
-    ):
-        _register_external(spark, table, path)
-    if spark.catalog.tableExists(table):
-        try:
-            _validate_chain_coverage(spark, table, base_checkpoint)
-            return False
-        except ValueError as e:
-            warnings.warn(
-                f"bucketed index {table!r} diverged from the fold chain "
-                f"({e}); rebuilding from the chain"
-            )
+    if not force_rebuild:
+        if not spark.catalog.tableExists(table) and path is not None and os.path.exists(
+            os.path.join(path, META_FILE)
+        ):
+            _register_external(spark, table, path)
+        if spark.catalog.tableExists(table):
+            try:
+                _validate_chain_coverage(spark, table, base_checkpoint)
+                return False
+            except ValueError as e:
+                warnings.warn(
+                    f"bucketed index {table!r} diverged from the fold chain "
+                    f"({e}); rebuilding from the chain"
+                )
     df = read_stage_chain(spark, base_checkpoint, "block_index")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if path is not None and os.path.isdir(path):

@@ -67,6 +67,15 @@ class StreamingFoldState:
     cfg: ERConfig = field(default_factory=ERConfig)
     compact_every: int = 0  # 0 = no cadence-based compaction
     max_chain_depth: int = 16  # hard depth bound; 0 = unbounded (not advised)
+    # bucketed block-index maintenance (sources/bucketed.py): when set, every
+    # epoch probes the table instead of the chain read and appends its delta
+    # keys exactly once (fenced by a per-fold marker). The streaming fold is
+    # the deployment that needs this most — it is the one folding daily into
+    # a corpus that outgrows any broadcast.
+    bucketed_table: str | None = None
+    bucketed_path: str | None = None
+    bucketed_buckets: int | None = None  # None = sources/bucketed.py default
+    probe_broadcast_delta: bool = True  # False = sort-merge probe (big epochs)
     head: str | None = None  # latest fold dir (chain head); None = base only
     epochs_folded: int = 0  # this invocation only
     total_folds: int = 0  # cumulative across invocations (persisted in _HEAD)
@@ -141,19 +150,54 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
             "the stream's offsets checkpoint and fold_root/_HEAD.json have "
             "diverged (they must be kept or deleted together)."
         )
+    spark = batch.sparkSession
+    bucketed_kw = {}
+    if state.bucketed_table:
+        from mel_spark.sources import bucketed
+
+        _bkw = {"path": state.bucketed_path}
+        if state.bucketed_buckets is not None:
+            _bkw["n_buckets"] = state.bucketed_buckets
+        bucketed.ensure_bucketed_index(
+            spark, state.bucketed_table, state.current_base(), **_bkw
+        )
+        bucketed_kw = {
+            "base_keys_table": state.bucketed_table,
+            "broadcast_probe_delta": state.probe_broadcast_delta,
+        }
     out = incremental_update(
-        batch.sparkSession,
+        spark,
         state.current_base(),
         batch,
         state.cfg,
         checkpoint_dir=fold_dir,
         input_token=f"epoch:{epoch_id}",
+        **bucketed_kw,
     )
+    if state.bucketed_table and not bucketed.fold_appended(fold_dir, state.bucketed_table):
+        # append BEFORE advancing the head: a crash in between replays into a
+        # fold whose stages are green and whose marker already fences the
+        # append — the table never silently misses this epoch's delta
+        from mel_spark.sources.checkpoint import CheckpointManager
+
+        bucketed.append_bucketed_index(
+            CheckpointManager(fold_dir)
+            .read("block_index_delta", spark)
+            .select("block_key", "mention_id"),
+            state.bucketed_table,
+        )
+        bucketed.record_fold_appended(fold_dir, state.bucketed_table)
     state._advance(fold_dir)
     cadence_hit = state.compact_every and state.total_folds % state.compact_every == 0
     depth_hit = state.max_chain_depth and chain_depth(fold_dir) >= state.max_chain_depth
     if cadence_hit or depth_hit:
-        compact_checkpoint(batch.sparkSession, fold_dir)
+        compact_checkpoint(spark, fold_dir)
+        if state.bucketed_table:
+            # compaction drops the parent pointers the coverage walk needs;
+            # rebuild eagerly from the now-flat chain and re-anchor the meta
+            bucketed.ensure_bucketed_index(
+                spark, state.bucketed_table, fold_dir, force_rebuild=True, **_bkw
+            )
     return out
 
 

@@ -352,3 +352,74 @@ def test_diverged_offsets_and_head_refuse_to_fold(spark, tmp_path):
     from mel_spark.operators.incremental import read_clusters_chain
 
     assert read_clusters_chain(spark, st2.current_base()).count() == repos.count()
+
+
+def test_streaming_fold_maintains_bucketed_index(spark, tmp_path):
+    """Streaming deployment of the bucketed probe table (sources/bucketed.py):
+    each epoch probes the table (sort-merge, delta NOT broadcast), appends its
+    delta keys exactly once, and a compaction epoch force-rebuilds the table
+    from the flattened chain — after every epoch the table content equals the
+    chain's block index."""
+    import os
+
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, start_er_stream
+    from mel_spark.operators.incremental import read_stage_chain
+    from mel_spark.sources.bucketed import (
+        ensure_bucketed_index,
+        fold_appended,
+        read_bucketed_index,
+    )
+
+    repos, shard = _mk_split_repos(spark, n_files=140, seed=37)
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard < 6), base)
+    src = f"{tmp_path}/src"
+    tbl, loc = "bidx_stream", str(tmp_path / "bidx")
+
+    def invoke():
+        stream = (
+            spark.readStream.schema(repos.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        st = StreamingFoldState(
+            base_checkpoint=base,
+            fold_root=str(tmp_path / "folds"),
+            compact_every=2,
+            max_chain_depth=0,
+            bucketed_table=tbl,
+            bucketed_path=loc,
+            bucketed_buckets=4,
+            probe_broadcast_delta=False,
+        )
+        q = start_er_stream(stream, st, offsets_dir=str(tmp_path / "off"), trigger_once=True)
+        q.awaitTermination(300)
+        return st
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.select("block_key", "mention_id").collect())
+
+    try:
+        repos.filter(shard.isin(6, 7)).coalesce(1).write.mode("overwrite").parquet(src)
+        st1 = invoke()
+        assert st1.total_folds == 1
+        assert fold_appended(st1.current_base(), tbl)
+        assert canon(read_bucketed_index(spark, tbl)) == canon(
+            read_stage_chain(spark, st1.current_base(), "block_index")
+        )
+
+        # second epoch hits the compaction cadence: the chain flattens and the
+        # table is force-rebuilt against the compacted head
+        repos.filter(shard.isin(8, 9)).coalesce(1).write.mode("append").parquet(src)
+        st2 = invoke()
+        head = st2.current_base()
+        assert st2.total_folds == 2
+        assert not os.path.exists(f"{head}/_PARENT.json")  # compacted
+        assert canon(read_bucketed_index(spark, tbl)) == canon(
+            read_stage_chain(spark, head, "block_index")
+        )
+        # the rebuilt table anchors at the compacted head and validates clean
+        assert ensure_bucketed_index(spark, tbl, head, n_buckets=4, path=loc) is False
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
