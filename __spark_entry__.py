@@ -83,7 +83,7 @@ def _verify_pairs(cand: DataFrame, feats: DataFrame) -> DataFrame:
     return (
         joined.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_id_a", "doc_id_b", "jaccard")
+        .select(*cand.columns, "jaccard")
     )
 
 
@@ -170,9 +170,12 @@ SELECT n AS doc_id, min(lbl)::BIGINT AS cluster_id FROM cc GROUP BY n
 def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ER (operators/incremental.py): run the full base pipeline
     over the ~70% of documents with pmod(doc_id,10) < 7, then FOLD IN the
-    remaining ~30% — delta blocking (new x new and new x old band-key probe),
+    remaining ~30% — delta blocking (new x new and new x old band collisions),
     verification, and root-collapsed connected components over only the new
-    edges. The oracle is the FULL-RUN recursive-CTE SQL (er_clusters over all
+    edges. Candidates come from ONE band self-join verified ONCE and split by
+    endpoint newness (both-old = base pairs, >=1-new = delta pairs — the same
+    disjoint sets the separate base/new-probe joins produce, at half the join
+    work). The oracle is the FULL-RUN recursive-CTE SQL (er_clusters over all
     docs): hash-matching it proves the incremental path reproduces a
     from-scratch recompute exactly, labels included (cluster_id = min member;
     old roots are minima of their members, so min over {roots, new ids} = min
@@ -182,38 +185,38 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     is_new = F.pmod(F.col("doc_id"), F.lit(10)) >= 7
-    feats = _doc_features(docs).persist()
-    base_feats = feats.filter(~is_new)
+    feats = _doc_features(docs).withColumn("_new", is_new).persist()
+    base_feats = feats.filter(~F.col("_new"))
 
-    # base run: pairs among old docs only → transitive clusters → roots
-    base_blocks = _band_blocks(base_feats)
-    base_cand = (
-        base_blocks.alias("x")
-        .join(base_blocks.alias("y"), "band_key")
+    # ONE band self-join + ONE verification over all candidates, split
+    # afterwards by endpoint newness: base pairs (both endpoints old) and
+    # delta pairs (>= 1 new endpoint) partition the candidate set exactly as
+    # the separate base/new x all joins would — same sets, half the join work
+    blocks = feats.select(
+        "doc_id",
+        "_new",
+        F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key"),
+    )
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), "band_key")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            (F.col("x._new") | F.col("y._new")).alias("_any_new"),
+        )
         .distinct()
     )
-    base_pairs = _verify_pairs(base_cand, base_feats)
+    verified = _verify_pairs(cand, feats).persist()
+    base_pairs = verified.filter(~F.col("_any_new")).select("doc_id_a", "doc_id_b", "jaccard")
+    delta_pairs = verified.filter("_any_new").select("doc_id_a", "doc_id_b", "jaccard")
+
+    # base run: pairs among old docs only → transitive clusters → roots
     base_cc = connected_components(base_pairs, "doc_id_a", "doc_id_b")
     roots_old = attach_singletons(
         base_cc, base_feats.select(F.col("doc_id").alias("mention_id"))
     ).select(F.col("mention_id").alias("csid"), F.col("cluster_id").alias("root"))
-
-    # delta: every candidate with >= 1 new endpoint (new x new AND new x old)
-    new_blocks = _band_blocks(feats.filter(is_new))
-    all_blocks = _band_blocks(feats)
-    delta_cand = (
-        new_blocks.select("band_key", F.col("doc_id").alias("_n"))
-        .join(all_blocks.select("band_key", F.col("doc_id").alias("_o")), "band_key")
-        .filter(F.col("_n") != F.col("_o"))
-        .select(
-            F.least("_n", "_o").alias("doc_id_a"),
-            F.greatest("_n", "_o").alias("doc_id_b"),
-        )
-        .distinct()
-    )
-    delta_pairs = _verify_pairs(delta_cand, feats)
 
     remap = merge_components(
         delta_pairs.select(
@@ -226,7 +229,7 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_assign = roots_old.join(
         remap, roots_old["root"] == remap["_node"], "left"
     ).select(F.col("csid").alias("doc_id"), F.coalesce("_new_root", "root").alias("cluster_id"))
-    new_ids = feats.filter(is_new).select(F.col("doc_id"))
+    new_ids = feats.filter(F.col("_new")).select(F.col("doc_id"))
     new_assign = new_ids.join(remap, new_ids["doc_id"] == remap["_node"], "left").select(
         "doc_id", F.coalesce("_new_root", F.col("doc_id")).alias("cluster_id")
     )
