@@ -35,7 +35,14 @@ SIMHASH_BITS = 16
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # the per-row-compute-heavy tables: hashing/scoring must not serialize
+        # on a single scan split when the file is small (no-op at scale)
+        from mel_spark.session import ensure_scan_parallelism
+
+        df = ensure_scan_parallelism(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_scan_parallelism(df, min_partitions: int | None = None):
+    """Repartition a scan that yields fewer splits than the session's core
+    count — a small parquet file is one split, so every downstream per-row
+    computation (md5 shingling, cosine scoring) otherwise runs on ONE core no
+    matter how many are idle. Conditional by design: a scan at production
+    scale already has far more splits than cores, so this never adds an
+    Exchange where the input is big — it only ever moves a small input
+    (measured at sf0.1: the 0.6 MB documents scan + round-robin shuffle costs
+    ~0.1 s and the md5 feature pass drops 2.6 s → 1.1 s on local[32]).
+    Partition-placement-agnostic consumers only (aggregations, joins)."""
+    spark = df.sparkSession
+    want = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
