@@ -420,6 +420,14 @@ def incremental_update(
             f"(both are {checkpoint_dir!r})"
         )
 
+    # a small batch (one arrival file, a thin stream epoch) is one scan split;
+    # without this the delta featurization — the fold's main CPU cost — runs
+    # on a single core. No-op whenever the batch already has >= core-count
+    # splits, so nothing changes for big backfills.
+    from mel_spark.session import ensure_scan_parallelism
+
+    new_repos = ensure_scan_parallelism(new_repos)
+
     drop = list(LINEAGE_COLS)
     # chain-aware reads: base_checkpoint may be a from-scratch run OR itself a
     # fold dir (daily-ingest chaining) — either way these resolve to the full
