@@ -202,3 +202,21 @@ def test_featurize_map_rejects_null_token_arrays():
     )
     with pytest.raises(ValueError, match="NULL/zero-length token array"):
         list(fn(iter([pdf])))
+
+
+def test_ensure_scan_parallelism_only_widens_narrow_scans(spark, tmp_path):
+    """The conditional repartition is a no-op when the input already has at
+    least session-parallelism splits (the production-scale case) and widens a
+    single-split scan to the session's core count; row content unchanged."""
+    from mel_spark.session import ensure_scan_parallelism
+
+    want = spark.sparkContext.defaultParallelism
+    spark.range(1000).coalesce(1).write.parquet(str(tmp_path / "narrow"))
+    narrow = spark.read.parquet(str(tmp_path / "narrow"))
+    assert narrow.rdd.getNumPartitions() < want
+    widened = ensure_scan_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == want
+    assert widened.count() == 1000
+
+    wide = spark.range(1000).repartition(want + 4)
+    assert ensure_scan_parallelism(wide) is wide  # untouched, no added plan node
