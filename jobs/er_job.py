@@ -108,10 +108,15 @@ def main(argv: list[str] | None = None) -> int:
         gold = spark.createDataFrame(tables["reference_clusters"])
     elif args.input:
         # a single small parquet file arrives as one split; spread it so every
-        # core scans/embeds/blocks in parallel (real deployments read many
-        # splits — this mirrors that shape, it does not fake work)
-        repos = spark.read.parquet(f"{args.input}/repos.parquet").repartition(
-            spark.sparkContext.defaultParallelism * 2
+        # core scans/embeds/blocks in parallel. Conditional: a big input
+        # already has more splits than cores and must NOT be funneled through
+        # a corpus-wide shuffle into parallelism*2 fat partitions (the old
+        # unconditional repartition did exactly that)
+        from mel_spark.session import ensure_scan_parallelism
+
+        repos = ensure_scan_parallelism(
+            spark.read.parquet(f"{args.input}/repos.parquet"),
+            spark.sparkContext.defaultParallelism * 2,
         )
         try:
             gold = spark.read.parquet(f"{args.input}/reference_clusters.parquet")
