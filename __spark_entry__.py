@@ -546,6 +546,31 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index: build once (inverted lists as hive partitions,
+    cell-partitioned parquet; the reference's Index.from_dir build→serve
+    split, src/data_processors/index/index.py:16-58), then probe with static
+    partition pruning — only the nprobe probed cells' directories are read
+    (the storage analogue of ScaNN's leaves_to_search). The relational fit +
+    Catalyst probe is bit-identical to ivf_topk_relational, so the SAME
+    DuckDB oracle as knn_ivf validates the whole build→persist→probe path
+    end to end."""
+    import tempfile
+
+    from mel_spark.operators.ann_index import build_ivf_index, ivf_index_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="mel_ivf_index_")
+    build_ivf_index(
+        emb, d, n_cells=IVF_CELLS, iterations=IVF_ITERS, seed=42,
+        fit="relational", emb_format="f32",
+    )
+    return ivf_index_topk(
+        spark, emb.filter(F.col("vec_id") < KNN_MAX_QID), d,
+        k=KNN_K, nprobe=IVF_NPROBE,
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (exact float min/max — no fp-order ambiguity)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1112,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_pq": q_knn_ivf_pq,
+        "knn_ivf_index": q_knn_ivf_index,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "knn_recall_at_k": q_knn_recall_at_k,
@@ -1264,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_ivf": _ivf_sql(),
         "knn_ivf_pq": _ivf_sql(quantized=True),
+        "knn_ivf_index": _ivf_sql(),
         "emb_near_dup_lsh": f"""
             WITH blocks AS (
               SELECT vec_id AS doc_id,

@@ -462,12 +462,7 @@ def ivf_topk(
                 if len(pdf) == 0:
                     continue
                 v = np.stack(pdf["_emb"].to_numpy()).astype(np.float64)
-                mx = np.abs(v).max(axis=1, keepdims=True)
-                s = np.maximum(mx / 127.0, 1e-300)
-                r = v / s
-                code = np.where(r >= 0, np.floor(r + 0.5), np.ceil(r - 0.5)).astype(
-                    np.int8
-                )
+                code = _int8_encode_np(v)
                 yield pd.DataFrame(
                     {
                         "neighbor_id": pdf["_id"].to_numpy(),
@@ -497,13 +492,7 @@ def ivf_topk(
                 c = np.stack(
                     [np.frombuffer(b, dtype=np.int8) for b in pdf["code"]]
                 ).astype(np.float64)
-                qn = np.linalg.norm(q, axis=1)
-                cn = np.linalg.norm(c, axis=1)
-                raw = (q * c).sum(axis=1) / np.maximum(qn * cn, 1e-300)
-                # HALF_UP 6dp, matching the exact scorer's rounding discipline
-                acos = np.where(
-                    raw >= 0, np.floor(raw * 1e6 + 0.5), np.ceil(raw * 1e6 - 0.5)
-                ) / 1e6
+                acos = _code_cosine_np(q, c)
                 yield pd.DataFrame(
                     {
                         "query_id": pdf["query_id"].to_numpy(),
@@ -540,6 +529,26 @@ def ivf_topk(
     )
 
 
+def _int8_encode_np(v: np.ndarray) -> np.ndarray:
+    """HALF_UP symmetric per-vector int8 codes (s = max|v|/127) — the NumPy
+    twin of the Catalyst ``int8_codes``; shared by ivf_topk's quantized pass
+    and ann_index.build_ivf_index's persisted code column."""
+    mx = np.abs(v).max(axis=1, keepdims=True)
+    s = np.maximum(mx / 127.0, 1e-300)
+    r = v / s
+    return np.where(r >= 0, np.floor(r + 0.5), np.ceil(r - 0.5)).astype(np.int8)
+
+
+def _code_cosine_np(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Row-wise cosine(q_i, c_i) rounded HALF_UP to 6dp — matches the exact
+    Catalyst scorer's rounding discipline so approx-pass ranks are
+    reproducible across the in-flight and persisted-index paths."""
+    qn = np.linalg.norm(q, axis=1)
+    cn = np.linalg.norm(c, axis=1)
+    raw = (q * c).sum(axis=1) / np.maximum(qn * cn, 1e-300)
+    return np.where(raw >= 0, np.floor(raw * 1e6 + 0.5), np.ceil(raw * 1e6 - 0.5)) / 1e6
+
+
 def _md5_seed_hash(col: Column, seed: int) -> Column:
     """60-bit int from md5(id:seed) — the cross-engine-deterministic seeded
     sample used for centroid init (DuckDB twin inlined in __spark_entry__)."""
@@ -547,6 +556,36 @@ def _md5_seed_hash(col: Column, seed: int) -> Column:
         F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{seed}"))), 1, 15),
         16, 10,
     ).cast("long")
+
+
+def fit_ivf_centroids_relational(
+    index: DataFrame,
+    n_cells: int = 16,
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+    iterations: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(cell, cent array<double>) coarse quantizer, cross-engine
+    deterministic: md5(id:seed)-smallest medoid init + ``iterations``
+    DECIMAL-exact Lloyd rounds. Shared by ivf_topk_relational (in-flight
+    oracle twin) and ann_index.build_ivf_index (persisted index)."""
+    index = V.ensure_emb_array(index, i_emb)
+    vecs_i = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
+    init = (
+        vecs_i.withColumn("_h", _md5_seed_hash(F.col("_id"), seed))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+    )
+    w_init = Window.orderBy("_h", "_id")
+    cents = (
+        init.withColumn("cell", (F.row_number().over(w_init) - 1).cast("int"))
+        .select("cell", F.transform("_emb", lambda x: x.cast("double")).alias("cent"))
+    )
+    for _ in range(iterations):
+        members = _ivf_assign_relational(vecs_i, cents, "_mid")
+        cents = _ivf_update_relational(vecs_i, members)
+    return cents
 
 
 def _ivf_assign_relational(vecs: DataFrame, cents: DataFrame, id_out: str) -> DataFrame:
@@ -625,20 +664,7 @@ def ivf_topk_relational(
     queries = V.ensure_emb_array(queries, q_emb)  # either emb storage format
     index = V.ensure_emb_array(index, i_emb)
     vecs_i = index.select(F.col(i_id).alias("_id"), F.col(i_emb).alias("_emb"))
-    init = (
-        vecs_i.withColumn("_h", _md5_seed_hash(F.col("_id"), seed))
-        .orderBy("_h", "_id")
-        .limit(n_cells)
-    )
-    w_init = Window.orderBy("_h", "_id")
-    cents = (
-        init.withColumn("cell", (F.row_number().over(w_init) - 1).cast("int"))
-        .select("cell", F.transform("_emb", lambda x: x.cast("double")).alias("cent"))
-    )
-    for _ in range(iterations):
-        members = _ivf_assign_relational(vecs_i, cents, "_mid")
-        cents = _ivf_update_relational(vecs_i, members)
-
+    cents = fit_ivf_centroids_relational(index, n_cells, i_id, i_emb, iterations, seed)
     i_cells = _ivf_assign_relational(vecs_i, cents, "neighbor_id")
     vecs_q = queries.select(F.col(q_id).alias("_id"), F.col(q_emb).alias("_emb"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cell"))

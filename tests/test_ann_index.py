@@ -1,0 +1,210 @@
+"""Persisted IVF index (operators/ann_index.py): build-once/probe-many parity
+with the in-flight IVF paths, partition-pruned probing, load-cap semantics,
+and commit-marker durability.
+
+Reference behaviors mirrored: Index.from_dir build→serve split + max_per_qid
+cap (src/data_processors/index/index.py:16-58), ScaNN leaves_to_search probing
+(src/finetunings/evaluation/find_recall.py:28-37)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mel_spark.operators.ann_index import (
+    build_ivf_index,
+    ivf_index_topk,
+    read_index_meta,
+)
+
+K = 5
+CELLS = 8
+NPROBE = 3
+ITERS = 2
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb_df):
+    return emb_df.filter(F.col("vec_id") < 50)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_relational_index_matches_inflight_twin(spark, emb_df, queries, tmp_path):
+    """fit=relational + probe=catalyst + f32 storage must be bit-identical to
+    ivf_topk_relational with the same params — the persisted index changes
+    WHERE the lists live, not a single score or rank."""
+    from mel_spark.operators.similarity import ivf_topk_relational
+
+    p = str(tmp_path / "ivf_rel")
+    meta = build_ivf_index(
+        emb_df, p, n_cells=CELLS, iterations=ITERS, seed=42,
+        fit="relational", emb_format="f32",
+    )
+    assert meta["rows"] == emb_df.count()
+    got = ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE)
+    want = ivf_topk_relational(
+        queries, emb_df, k=K, n_cells=CELLS, nprobe=NPROBE, iterations=ITERS, seed=42,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_numpy_index_matches_inflight_fitted(spark, emb_df, queries, tmp_path):
+    """fit=numpy + probe=numpy + f32 storage reproduces ivf_topk exactly:
+    same train_ivf_centroids fit, same matmul probe, same Catalyst re-score."""
+    from mel_spark.operators.similarity import ivf_topk
+
+    p = str(tmp_path / "ivf_np")
+    build_ivf_index(
+        emb_df, p, n_cells=CELLS, iterations=ITERS, seed=42,
+        fit="numpy", emb_format="f32",
+    )
+    got = ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE)
+    want = ivf_topk(
+        queries, emb_df, k=K, n_cells=CELLS, nprobe=NPROBE, iterations=ITERS, seed=42,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_quantized_probe_over_stored_codes(spark, emb_df, queries, tmp_path):
+    """The asymmetric-hashing first pass over STORED codes with a reorder
+    wide enough to keep every candidate must equal the unquantized probe —
+    quantization only prunes, never rescores, the final exact ranks."""
+    p = str(tmp_path / "ivf_q")
+    build_ivf_index(
+        emb_df, p, n_cells=CELLS, iterations=ITERS, seed=42,
+        fit="numpy", emb_format="f32",
+    )
+    exact = ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE)
+    quant = ivf_index_topk(
+        spark, queries, p, k=K, nprobe=NPROBE, quantized=True, reorder=10_000,
+    )
+    assert _rows(quant) == _rows(exact)
+
+
+def test_f16_storage_halves_bytes_and_keeps_neighbors(spark, emb_df, queries, tmp_path):
+    """fp16 lists must be at most ~60% of the f32 lists' bytes (fp16 payload
+    is half; parquet framing costs a little) and still return the same
+    neighbor SETS at this fixture's scale (scores may differ in late dp)."""
+    p32 = str(tmp_path / "f32")
+    p16 = str(tmp_path / "f16")
+    build_ivf_index(emb_df, p32, n_cells=CELLS, iterations=ITERS, fit="numpy",
+                    emb_format="f32")
+    build_ivf_index(emb_df, p16, n_cells=CELLS, iterations=ITERS, fit="numpy",
+                    emb_format="f16")
+
+    def _emb_bytes(root):
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _, files in os.walk(os.path.join(root, "lists")):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema.startswith("emb"):
+                            total += col.total_compressed_size
+        return total
+
+    # the emb column itself (code/id framing is identical in both) must be
+    # about half: fp16 stores 2 bytes/dim vs 4, and the binary blob also
+    # drops parquet's per-element list repetition levels
+    assert _emb_bytes(p16) <= 0.55 * _emb_bytes(p32)
+    got32 = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_index_topk(spark, queries, p32, k=K, nprobe=NPROBE).collect()}
+    got16 = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_index_topk(spark, queries, p16, k=K, nprobe=NPROBE).collect()}
+    overlap = len(got16 & got32) / len(got32)
+    assert overlap >= 0.95, f"fp16 neighbor overlap {overlap:.3f}"
+
+
+def test_probe_reads_only_probed_partitions(spark, emb_df, queries, tmp_path):
+    """The scan under a probe must be partition-pruned to the probed cells:
+    every file that feeds the candidate join lives under a probed cell's
+    directory, and at least one cell directory is never read."""
+    p = str(tmp_path / "ivf_prune")
+    build_ivf_index(
+        emb_df, p, n_cells=CELLS, iterations=ITERS, fit="numpy", emb_format="f32",
+    )
+    one_query = emb_df.filter(F.col("vec_id") == 0)
+    out = ivf_index_topk(spark, one_query, p, k=K, nprobe=2)
+    assert out.count() == K
+
+    # physical check on the same scan shape ivf_index_topk builds: an isin()
+    # over the partition column reaches the scan as a PartitionFilter, and
+    # input_file_name() proves only the matching cell directory is read
+    lists = spark.read.parquet(os.path.join(p, "lists"))
+    pruned = lists.filter(F.col("cell").isin([0]))
+    files = {
+        r["f"] for r in pruned.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files, "cell=0 list should exist"
+    assert all("cell=0" in f for f in files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_max_per_key_cap(spark, emb_df, tmp_path):
+    """The reference's max_per_qid load cap: at most N vectors per key
+    survive the build, lowest ids win (deterministic)."""
+    p = str(tmp_path / "ivf_cap")
+    capped = build_ivf_index(
+        emb_df.withColumn("label", F.pmod(F.col("vec_id"), F.lit(7))),
+        p, n_cells=CELLS, iterations=1, fit="numpy", emb_format="f32",
+        max_per_key=3, key_col="label",
+    )
+    lists = spark.read.parquet(os.path.join(p, "lists"))
+    assert capped["rows"] == lists.count()
+    per_key = (
+        lists.withColumn("label", F.pmod(F.col("id"), F.lit(7)))
+        .groupBy("label").count().agg(F.max("count")).first()[0]
+    )
+    assert per_key == 3
+    # lowest ids win: ids 0..20 cover 3 per label for labels 0..6
+    kept = sorted(r["id"] for r in lists.select("id").collect())
+    assert kept == list(range(21))
+
+
+def test_meta_is_commit_marker(spark, emb_df, queries, tmp_path):
+    """No _META.json → the index is 'not built', even if lists exist
+    (half-build after a crash); version mismatch is refused."""
+    p = str(tmp_path / "ivf_meta")
+    build_ivf_index(emb_df, p, n_cells=CELLS, iterations=1, fit="numpy",
+                    emb_format="f32")
+    meta_path = os.path.join(p, "_META.json")
+    os.rename(meta_path, meta_path + ".bak")
+    with pytest.raises(FileNotFoundError, match="not built"):
+        ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE)
+    os.rename(meta_path + ".bak", meta_path)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["version"] = 999
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="version"):
+        read_index_meta(p)
+
+
+def test_dim_mismatch_refused(spark, emb_df, tmp_path):
+    p = str(tmp_path / "ivf_dim")
+    build_ivf_index(emb_df, p, n_cells=CELLS, iterations=1, fit="numpy",
+                    emb_format="f32")
+    bad = emb_df.withColumn("embedding", F.slice("embedding", 1, 8))
+    with pytest.raises(ValueError, match="dim"):
+        ivf_index_topk(spark, bad.filter(F.col("vec_id") < 5), p, k=K)
