@@ -332,6 +332,12 @@ def ivf_index_topk(
             "query_id", F.explode("cells").alias("cell")
         )
 
+    # the probe assignment feeds TWO consumers — the driver-side distinct
+    # below and the candidate join — so persist it: without this the probe
+    # (a mapInPandas matmul or a crossJoin+window) executes twice. Tiny
+    # table: nprobe rows per query, two ints each.
+    q_cells = q_cells.persist()
+
     # static partition pruning: the distinct probed cells (≤ n_cells ints)
     # come to the driver; the isin() below reaches the scan as a
     # PartitionFilter, so only the probed lists' directories are read

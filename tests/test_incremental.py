@@ -490,3 +490,34 @@ def test_fold_clusters_plan_scans_corpus_never_shuffles_it(spark, tmp_path):
                 f"broadcast join:\n{plan}"
             )
     assert audited_scans > 0, f"no base-table scans audited: {list(plans)}"
+
+
+@pytest.mark.parametrize(
+    "gen_seed,split_seed,base_pct",
+    [(101, 1, 8), (202, 2, 5), (303, 3, 2)],
+)
+def test_incremental_equals_full_run_randomized(
+    spark, tmp_path, gen_seed, split_seed, base_pct
+):
+    """Seeded-randomized twin of the fixed-split equivalence (SURVEY §5:
+    the reference tests invariants over seeded random inputs, e.g.
+    tests/finetunings/evaluation/test_find_recall.py:25-66). Three corpora
+    and three base/batch split geometries — including a tiny 20% base with
+    an 80% batch, the worst case for the probe/relabel paths because almost
+    every base cluster is touched — must each reproduce the from-scratch
+    assignment byte-identically."""
+    tables = generate_repos(GenConfig(n_files=300, seed=gen_seed))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = (
+        F.pmod(F.xxhash64("repo", "path", "commit", F.lit(split_seed)), F.lit(10))
+        < base_pct
+    )
+    batch_a, batch_b = repos.filter(in_a), repos.filter(~in_a)
+    assert batch_a.count() > 0 and batch_b.count() > 0
+
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    run_pipeline(spark, batch_a, str(tmp_path / "base"))
+    inc = incremental_update(
+        spark, str(tmp_path / "base"), batch_b, checkpoint_dir=str(tmp_path / "inc")
+    )
+    _assert_same_clusters(inc["clusters"], full["clusters"])
