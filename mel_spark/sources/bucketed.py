@@ -224,6 +224,36 @@ def _validate_chain_coverage(spark: SparkSession, table: str, base_checkpoint: s
         cur = os.path.abspath(parent)
 
 
+def chain_covered(spark: SparkSession, table: str, base_checkpoint: str) -> bool:
+    """True iff ``table`` is registered and every fold between
+    ``base_checkpoint`` and the table's creation point appended its delta —
+    i.e. the table's content equals the chain's block index at
+    ``base_checkpoint``. Callers that are about to COMPACT the chain run this
+    first, while the parent pointers the walk needs still exist."""
+    if not spark.catalog.tableExists(table):
+        return False
+    try:
+        _validate_chain_coverage(spark, table, base_checkpoint)
+        return True
+    except ValueError:
+        return False
+
+
+def reanchor_meta(spark: SparkSession, table: str, new_base: str) -> None:
+    """Point the meta sidecar's creation base at ``new_base`` WITHOUT touching
+    any data file. Sound exactly when the table's content equals the chain's
+    block index at ``new_base`` — the post-compaction case (``chain_covered``
+    checked just before compacting): the compacted dir materializes the same
+    full index the table already holds, so recording the new anchor replaces
+    a second corpus-index bucketed rewrite with one sidecar write. Future
+    validations then walk zero hops instead of failing on the dropped parent
+    pointers and triggering that needless rebuild."""
+    loc = _table_location(spark, table)
+    _write_meta(
+        loc, {**_read_meta(loc), "created_base": os.path.abspath(new_base)}
+    )
+
+
 def ensure_bucketed_index(
     spark: SparkSession,
     table: str,

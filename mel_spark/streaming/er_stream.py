@@ -191,13 +191,25 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
     cadence_hit = state.compact_every and state.total_folds % state.compact_every == 0
     depth_hit = state.max_chain_depth and chain_depth(fold_dir) >= state.max_chain_depth
     if cadence_hit or depth_hit:
+        # coverage must be checked BEFORE compaction drops the parent
+        # pointers the walk needs
+        covered = bool(state.bucketed_table) and bucketed.chain_covered(
+            spark, state.bucketed_table, fold_dir
+        )
         compact_checkpoint(spark, fold_dir)
         if state.bucketed_table:
-            # compaction drops the parent pointers the coverage walk needs;
-            # rebuild eagerly from the now-flat chain and re-anchor the meta
-            bucketed.ensure_bucketed_index(
-                spark, state.bucketed_table, fold_dir, force_rebuild=True, **_bkw
-            )
+            if covered:
+                # the table already holds exactly the index the compaction
+                # just materialized (every fold on the walk appended), so
+                # re-anchor the meta at the flat dir — one sidecar write —
+                # instead of rewriting the identical corpus-sized table.
+                # Compaction pays one corpus materialization by design; the
+                # probe table must not cost a second.
+                bucketed.reanchor_meta(spark, state.bucketed_table, fold_dir)
+            else:
+                bucketed.ensure_bucketed_index(
+                    spark, state.bucketed_table, fold_dir, force_rebuild=True, **_bkw
+                )
     return out
 
 

@@ -357,9 +357,9 @@ def test_diverged_offsets_and_head_refuse_to_fold(spark, tmp_path):
 def test_streaming_fold_maintains_bucketed_index(spark, tmp_path):
     """Streaming deployment of the bucketed probe table (sources/bucketed.py):
     each epoch probes the table (sort-merge, delta NOT broadcast), appends its
-    delta keys exactly once, and a compaction epoch force-rebuilds the table
-    from the flattened chain — after every epoch the table content equals the
-    chain's block index."""
+    delta keys exactly once, and a compaction epoch RE-ANCHORS the table's
+    meta at the flattened chain WITHOUT rewriting its (identical) data —
+    after every epoch the table content equals the chain's block index."""
     import os
 
     from mel_spark.pipeline import run_pipeline
@@ -409,8 +409,21 @@ def test_streaming_fold_maintains_bucketed_index(spark, tmp_path):
             read_stage_chain(spark, st1.current_base(), "block_index")
         )
 
+        # snapshot the table's data files: the compaction epoch must APPEND
+        # its delta and then only re-anchor the meta — never rewrite the
+        # corpus-sized bucketed data (a rebuild replaces every part file)
+        def data_files():
+            return {
+                f: os.path.getsize(os.path.join(loc, f))
+                for f in os.listdir(loc)
+                if not f.startswith(("_", "."))
+            }
+
+        files_before = data_files()
+        assert files_before  # sanity: epoch 1 wrote real part files
+
         # second epoch hits the compaction cadence: the chain flattens and the
-        # table is force-rebuilt against the compacted head
+        # table meta re-anchors at the compacted head (content unchanged)
         repos.filter(shard.isin(8, 9)).coalesce(1).write.mode("append").parquet(src)
         st2 = invoke()
         head = st2.current_base()
@@ -419,7 +432,14 @@ def test_streaming_fold_maintains_bucketed_index(spark, tmp_path):
         assert canon(read_bucketed_index(spark, tbl)) == canon(
             read_stage_chain(spark, head, "block_index")
         )
-        # the rebuilt table anchors at the compacted head and validates clean
+        files_after = data_files()
+        for f, size in files_before.items():
+            assert files_after.get(f) == size, (
+                f"compaction rewrote bucketed data file {f} — expected a "
+                "meta-only re-anchor"
+            )
+        assert set(files_after) > set(files_before)  # epoch 2's append landed
+        # the re-anchored table anchors at the compacted head, validates clean
         assert ensure_bucketed_index(spark, tbl, head, n_buckets=4, path=loc) is False
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
