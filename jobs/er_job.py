@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
         "--bucketed-index the probe runs as a sort-merge join where only "
         "the delta side exchanges (for batches past the broadcast ceiling)",
     )
+    p.add_argument(
+        "--relabel-sort-merge",
+        action="store_true",
+        help="fold relabel: do NOT broadcast the touched-cluster membership "
+        "(use when the batch touches a mega-cluster whose membership exceeds "
+        "the broadcast ceiling; output is identical, the relabel joins run "
+        "sort-merge)",
+    )
     args = p.parse_args(argv)
     if args.update_base:
         import os as _os
@@ -153,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             base_keys_table=base_keys_table,
             broadcast_probe_delta=not args.probe_sort_merge,
+            broadcast_touched=not args.relabel_sort_merge,
         )
         inc["clusters"].select("mention_id", "cluster_id").write.mode(
             "overwrite"

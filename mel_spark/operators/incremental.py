@@ -378,6 +378,7 @@ def incremental_update(
     plan_capture: dict[str, str] | None = None,
     base_keys_table: str | None = None,
     broadcast_probe_delta: bool = True,
+    broadcast_touched: bool = True,
 ) -> dict[str, DataFrame]:
     """Fold ``new_repos`` into the completed run at ``base_checkpoint``.
 
@@ -403,6 +404,16 @@ def incremental_update(
     the probe becomes a sort-merge join where only the delta side exchanges
     (the bucketed corpus scan carries no Exchange — plan pinned by
     tests/test_bucketed.py).
+
+    ``broadcast_touched`` gates the relabel stage's broadcast hints, whose
+    build sides are bounded by TOUCHED-CLUSTER MEMBERSHIP rather than batch
+    size (a batch-proportional bound holds only while no touched cluster is
+    itself corpus-scale). A fold that touches a mega-cluster — one content
+    duplicated past the broadcast ceiling — must pass False: the relabel
+    joins run sort-merge (the corpus clusters/mentions tables shuffle for
+    this fold, which is unavoidable when the touched membership itself is
+    corpus-scale) instead of OOMing the driver. Output is byte-identical
+    either way (tests/test_incremental.py).
     """
     import hashlib as _hashlib
     import json as _json
@@ -667,10 +678,17 @@ def incremental_update(
     mentions_touch = mentions_b.select("csid", "mention_id").join(
         F.broadcast(probe_csids), "csid", "left_semi"
     )
-    # broadcast the batch-sized side into content_roots' inner join so the
-    # corpus clusters table is SCANNED (broadcast-hash probe), not shuffled —
-    # er_job disables auto-broadcast, so the hint must be explicit
-    roots_touch = content_roots(F.broadcast(mentions_touch), clusters_b)
+
+    # build sides from here on are bounded by TOUCHED-CLUSTER MEMBERSHIP, not
+    # by the batch — hint them only while that bound fits a broadcast (see
+    # the broadcast_touched docstring for the mega-cluster escape hatch)
+    def _b_touch(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_touched else df
+
+    # broadcast the touched-membership side into content_roots' inner join so
+    # the corpus clusters table is SCANNED (broadcast-hash probe), not
+    # shuffled — er_job disables auto-broadcast, so the hint must be explicit
+    roots_touch = content_roots(_b_touch(mentions_touch), clusters_b)
     cc_dir = _os.path.join(checkpoint_dir, "cc_rounds") if checkpoint_dir else None
     remap = merge_components(
         matches_new, roots_touch, checkpoint_dir=cc_dir, input_fingerprint=fp
@@ -693,7 +711,7 @@ def incremental_update(
         touched_members = clusters_b.join(
             F.broadcast(touched_base), "cluster_id", "left_semi"
         )
-        tm = F.broadcast(
+        tm = _b_touch(
             touched_members.select(
                 "mention_id", F.col("cluster_id").alias("_base_root")
             )
@@ -721,7 +739,7 @@ def incremental_update(
         mins = expanded.groupBy("_root").agg(F.min("mid").alias("cluster_id"))
         rel = expanded.join(mins, "_root").select("mention_id", "cluster_id")
         base_sub = clusters_b.join(
-            F.broadcast(rel.select("mention_id")), "mention_id", "left_semi"
+            _b_touch(rel.select("mention_id")), "mention_id", "left_semi"
         ).select("mention_id", F.col("cluster_id").alias("_old"))
         return (
             rel.join(base_sub, "mention_id", "left")
@@ -734,11 +752,11 @@ def incremental_update(
         _write_parent(checkpoint_dir, base_checkpoint)
     # full updated assignment = override the base with the delta (identical
     # to a from-scratch relabel per the touched-clusters argument above);
-    # the anti-join's build side is the batch-sized delta id set — broadcast
-    # it so reconstructing the full table scans the corpus instead of
-    # shuffling it
+    # the anti-join's build side is the touched-membership-bounded delta id
+    # set — broadcast it (when that bound fits) so reconstructing the full
+    # table scans the corpus instead of shuffling it
     clusters = clusters_b.join(
-        F.broadcast(delta.select("mention_id")), "mention_id", "left_anti"
+        _b_touch(delta.select("mention_id")), "mention_id", "left_anti"
     ).unionByName(delta)
     if plan_capture is not None:
         plan_capture["clusters_full"] = (

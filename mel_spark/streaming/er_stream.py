@@ -76,6 +76,9 @@ class StreamingFoldState:
     bucketed_path: str | None = None
     bucketed_buckets: int | None = None  # None = sources/bucketed.py default
     probe_broadcast_delta: bool = True  # False = sort-merge probe (big epochs)
+    # False = sort-merge relabel (epochs touching a mega-cluster whose
+    # membership exceeds the broadcast ceiling)
+    relabel_broadcast_touched: bool = True
     head: str | None = None  # latest fold dir (chain head); None = base only
     epochs_folded: int = 0  # this invocation only
     total_folds: int = 0  # cumulative across invocations (persisted in _HEAD)
@@ -172,6 +175,7 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
         state.cfg,
         checkpoint_dir=fold_dir,
         input_token=f"epoch:{epoch_id}",
+        broadcast_touched=state.relabel_broadcast_touched,
         **bucketed_kw,
     )
     if state.bucketed_table and not bucketed.fold_appended(fold_dir, state.bucketed_table):

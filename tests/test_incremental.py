@@ -521,3 +521,25 @@ def test_incremental_equals_full_run_randomized(
         spark, str(tmp_path / "base"), batch_b, checkpoint_dir=str(tmp_path / "inc")
     )
     _assert_same_clusters(inc["clusters"], full["clusters"])
+
+
+def test_fold_sort_merge_relabel_equals_broadcast(spark, tmp_path):
+    """broadcast_touched=False (the mega-cluster escape hatch: relabel build
+    sides join sort-merge instead of broadcasting touched-cluster membership)
+    must be byte-identical to the default broadcast path AND to a
+    from-scratch run — only the physical join strategy may differ."""
+    tables = generate_repos(GenConfig(n_files=400, seed=17))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10)) < 7
+    batch_a, batch_b = repos.filter(in_a), repos.filter(~in_a)
+
+    full = run_pipeline(spark, repos, str(tmp_path / "full"))
+    run_pipeline(spark, batch_a, str(tmp_path / "base"))
+    inc_sm = incremental_update(
+        spark,
+        str(tmp_path / "base"),
+        batch_b,
+        checkpoint_dir=str(tmp_path / "inc_sm"),
+        broadcast_touched=False,
+    )
+    _assert_same_clusters(inc_sm["clusters"], full["clusters"])
