@@ -441,5 +441,28 @@ def test_streaming_fold_maintains_bucketed_index(spark, tmp_path):
         assert set(files_after) > set(files_before)  # epoch 2's append landed
         # the re-anchored table anchors at the compacted head, validates clean
         assert ensure_bucketed_index(spark, tbl, head, n_buckets=4, path=loc) is False
+
+        # third + fourth epochs drive a SECOND append→compact cycle over the
+        # re-anchored table — re-anchoring must compose (the coverage walk
+        # from the new head ends at the previous compacted anchor)
+        extra, eshard = _mk_split_repos(spark, n_files=80, seed=57)
+        files_c1 = data_files()
+        extra.filter(eshard < 5).coalesce(1).write.mode("append").parquet(src)
+        st3 = invoke()
+        assert st3.total_folds == 3
+        extra.filter(eshard >= 5).coalesce(1).write.mode("append").parquet(src)
+        st4 = invoke()
+        head2 = st4.current_base()
+        assert st4.total_folds == 4
+        assert not os.path.exists(f"{head2}/_PARENT.json")  # compacted again
+        assert canon(read_bucketed_index(spark, tbl)) == canon(
+            read_stage_chain(spark, head2, "block_index")
+        )
+        files_c2 = data_files()
+        for f, size in files_c1.items():
+            assert files_c2.get(f) == size, (
+                f"second compaction rewrote bucketed data file {f}"
+            )
+        assert ensure_bucketed_index(spark, tbl, head2, n_buckets=4, path=loc) is False
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
