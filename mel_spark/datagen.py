@@ -137,11 +137,18 @@ def generate_repos(cfg: GenConfig = GenConfig()) -> dict[str, pd.DataFrame]:
 
 
 def write_parquet(tables: dict[str, pd.DataFrame], out_dir: str) -> None:
+    """Write the generated tables as SPLITTABLE parquet. Spark assigns scan
+    tasks at row-group granularity, and pandas' default is one ~1Mi-row row
+    group — a 3M-row file then carries 3 row groups and the whole ingest scan
+    runs ≤3-wide no matter how many cores exist (it also fools
+    session.ensure_scan_parallelism, whose byte-split partition count looks
+    ample while all but 3 splits are empty). A production corpus is many
+    files/row-groups; 64k-row groups (~13 MB here) reproduce that property."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     for name, df in tables.items():
-        df.to_parquet(f"{out_dir}/{name}.parquet", index=False)
+        df.to_parquet(f"{out_dir}/{name}.parquet", index=False, row_group_size=65536)
 
 
 def load_as_spark(spark, tables: dict[str, pd.DataFrame]):

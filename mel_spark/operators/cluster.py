@@ -56,7 +56,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
             F.least(F.col("_mn"), F.col("u")).alias("v"),
         )
     )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    # NO distinct here: every consumer (_small_star's min aggregations, its
+    # closing distinct) is duplicate-insensitive, so the dedup exchange would
+    # be a full extra shuffle per round purely to shrink rows the next
+    # map-side combine collapses anyway
+    return out.filter(F.col("u") != F.col("v"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -84,6 +88,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
     input_fingerprint: str | None = None,
+    durable_every: int = 1,
 ) -> DataFrame:
     """Cluster the undirected match graph; returns (mention_id, cluster_id)
     where cluster_id = min member id (stable, deterministic).
@@ -96,6 +101,15 @@ def connected_components(
     number and fingerprint; a restarted job continues from the last
     completed round instead of iteration 0. Without it, rounds use
     localCheckpoint (lineage break only — cheaper, not durable).
+
+    ``durable_every`` sets the durable-round cadence: rounds between durable
+    writes break lineage with localCheckpoint only, so a crash loses at most
+    ``durable_every - 1`` rounds of star work instead of paying a durable
+    write+read per round. The converged round is ALWAYS written durably
+    (with its state marker), so a finished run resumes to the final edge set
+    with zero recomputation regardless of cadence. At the 10^12-edge tier a
+    durable write is ~2× a round's IO — per-round durability doubles the
+    stage cost to insure against losing one round.
 
     ``input_fingerprint`` identifies the EDGE SET this state belongs to (the
     caller's stage fingerprint). Persisted into _CC_STATE.json; on resume a
@@ -140,31 +154,44 @@ def connected_components(
                 )
     if start_iter == 0:
         edges = edges.localCheckpoint(eager=True)
+    def _write_durable(it: int, edges: DataFrame) -> DataFrame:
+        path = _os.path.join(checkpoint_dir, f"iter{it}")
+        edges.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _write_state(it: int, fp: tuple[int, int], converged: bool) -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "iteration": it,
+                    "fingerprint": list(fp),
+                    "converged": converged,
+                    "input_fp": input_fingerprint,
+                },
+                f,
+            )
+        _os.replace(tmp, state_path)  # atomic: round is resumable
+
     for it in range(start_iter, max_iterations):
         if converged:
             break
         edges = _small_star(_large_star(edges))
-        if checkpoint_dir:
-            path = _os.path.join(checkpoint_dir, f"iter{it}")
-            edges.write.mode("overwrite").parquet(path)
-            edges = spark.read.parquet(path)
+        durable = bool(checkpoint_dir) and (it + 1) % max(durable_every, 1) == 0
+        if durable:
+            edges = _write_durable(it, edges)
         else:
             edges = edges.localCheckpoint(eager=True)
         fp = _fingerprint(edges)
         converged = fp == prev_fp
         if checkpoint_dir:
-            tmp = state_path + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(
-                    {
-                        "iteration": it,
-                        "fingerprint": list(fp),
-                        "converged": converged,
-                        "input_fp": input_fingerprint,
-                    },
-                    f,
-                )
-            _os.replace(tmp, state_path)  # atomic: round is resumable
+            if converged and not durable:
+                # the final edge set must be durable for crash-after-
+                # convergence resume, whatever the cadence
+                edges = _write_durable(it, edges)
+                durable = True
+            if durable:
+                _write_state(it, fp, converged)
         prev_fp = fp
     if not converged:
         # non-converged output may violate the "cluster_id = min member,

@@ -321,6 +321,10 @@ def run_pipeline(
             matches,
             checkpoint_dir=_os.path.join(checkpoint_dir, "cc_rounds"),
             input_fingerprint=fp,
+            # durable write every 4th round (converged round always durable):
+            # a crash re-does ≤3 localCheckpointed star rounds instead of the
+            # stage paying a durable write+read per round
+            durable_every=4,
         )
         cl = cluster.attach_singletons(
             cc, mentions.select(F.col("csid").alias("mention_id"))

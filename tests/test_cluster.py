@@ -109,6 +109,50 @@ def test_mid_clustering_resume(spark, tmp_path):
     assert third == base
 
 
+def test_durable_every_cadence(spark, tmp_path):
+    """durable_every=K: intermediate rounds are localCheckpoint-only, the
+    converged round is still written durably with its state marker, results
+    match the per-round-durable run, and crash-after-convergence resume
+    performs zero extra rounds."""
+    import json
+    import os
+
+    n = 60  # a 61-node path needs several star rounds → exercises the cadence
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    df = spark.createDataFrame(edges, ["mention_id_a", "mention_id_b"])
+    base = {r["mention_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+
+    d1 = str(tmp_path / "cc_k1")
+    dk = str(tmp_path / "cc_k3")
+    got1 = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=d1).collect()
+    }
+    gotk = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=dk, durable_every=3).collect()
+    }
+    assert got1 == base and gotk == base
+
+    st1 = json.load(open(os.path.join(d1, "_CC_STATE.json")))
+    stk = json.load(open(os.path.join(dk, "_CC_STATE.json")))
+    # same rounds to converge; the cadenced run wrote FEWER durable rounds
+    assert stk["iteration"] == st1["iteration"] and stk["converged"]
+    iters1 = {d for d in os.listdir(d1) if d.startswith("iter")}
+    itersk = {d for d in os.listdir(dk) if d.startswith("iter")}
+    assert len(itersk) < len(iters1)
+    # the converged round is always durable, whatever the cadence
+    assert f"iter{stk['iteration']}" in itersk
+
+    # crash-after-convergence resume: same result, no new iter dirs
+    again = {
+        r["mention_id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=dk, durable_every=3).collect()
+    }
+    assert again == base
+    assert {d for d in os.listdir(dk) if d.startswith("iter")} == itersk
+
+
 def test_matches_gold_partition(spark, tiny_tables):
     """Edges built from the gold assignment must recover exactly the gold
     partition (modulo label choice)."""

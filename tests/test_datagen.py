@@ -26,6 +26,26 @@ def test_shape_and_clusters(tiny_tables):
     assert ref["mention_id"].str.len().eq(64).all()
 
 
+def test_write_parquet_is_splittable(tmp_path):
+    """Spark assigns parquet scan tasks at row-group granularity; pandas'
+    default single ~1Mi-row row group made a 3M-row benchmark input scan
+    ≤3-wide at ANY core count. The writer must emit bounded row groups so
+    generated corpora parallelize like production multi-file tables."""
+    import pyarrow.parquet as pq
+
+    from mel_spark.datagen import write_parquet
+
+    tables = generate_repos(GenConfig(n_files=70_000, seed=7))
+    write_parquet(tables, str(tmp_path))
+    f = pq.ParquetFile(str(tmp_path / "repos.parquet"))
+    assert f.metadata.num_rows == len(tables["repos"]) >= 70_000
+    assert f.metadata.num_row_groups >= 2  # pandas default would give 1
+    assert all(
+        f.metadata.row_group(i).num_rows <= 65536
+        for i in range(f.metadata.num_row_groups)
+    )
+
+
 def test_near_dups_are_similar(tiny_tables):
     """Within a planted cluster, token overlap must be high (bounded edits)."""
     repos = tiny_tables["repos"].copy()
