@@ -75,6 +75,9 @@ def run_once(cpus: int, input_dir: str, tag: str) -> dict:
     metrics = json.loads(proc.stdout.strip().splitlines()[-1])
     metrics["submit_wall_sec"] = round(wall, 2)
     metrics["cpus"] = cpus
+    # full per-run record to stderr IMMEDIATELY: a killed invocation keeps
+    # its completed runs' stage walls (the first 10M attempt lost them)
+    print(json.dumps(metrics), file=sys.stderr)
     shutil.rmtree(ckpt, ignore_errors=True)  # keep tmpfs usage bounded
     shutil.rmtree(out, ignore_errors=True)
     return metrics
@@ -168,7 +171,8 @@ Stage wall-times (s):
 | stage | local[{args.n}] | local[{4 * args.n}] |
 |---|---|---|
 """)
-        for st in ("ingest", "embed", "blocks", "pairs", "clusters"):
+        for st in ("ingest", "embed", "block_index", "block_sizes", "blocks",
+                   "pairs", "clusters"):
             f.write(f"| {st} | {small['stage_sec'].get(st)} | {large['stage_sec'].get(st)} |\n")
         f.write(f"""
 Raw JSON:

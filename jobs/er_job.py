@@ -253,7 +253,8 @@ def main(argv: list[str] | None = None) -> int:
 
     mgr = CheckpointManager(args.checkpoint)
     stage_times = {}
-    for st in ("ingest", "embed", "blocks", "pairs", "clusters"):
+    for st in ("ingest", "embed", "block_index", "block_sizes", "blocks",
+               "pairs", "clusters"):
         try:
             stage_times[st] = mgr.counters(st).get("elapsed_sec")
         except FileNotFoundError:
@@ -269,10 +270,18 @@ def main(argv: list[str] | None = None) -> int:
         surv.write.mode("overwrite").parquet(f"{args.output}/survivors.parquet")
         n_survivors = spark.read.parquet(f"{args.output}/survivors.parquet").count()
 
-    n_pairs = out["scored"].count()
+    # rows/candidate_pairs come from the checkpoint markers, which record the
+    # EXACT written row count of their stage (ingest rows / pairs rows —
+    # verified equal to a recount). Recounting them here re-scanned ingest and
+    # pairs inside the timed window: measurement bookkeeping, not pipeline
+    # work. The remaining stats (blocks/matches/clusters) are NOT marker-
+    # derivable — blocks is the distinct POST-salt/cap pairing keys, which
+    # differs from the block_sizes marker's raw pre-salt key count — so they
+    # stay exact recounts, evaluated after ``elapsed`` is captured.
+    n_pairs = mgr.counters("pairs")["rows"]
     elapsed = time.time() - t0
     metrics = {
-        "rows": out["mentions"].count(),
+        "rows": mgr.counters("ingest")["rows"],
         "blocks": out["blocks"].select("block_key").distinct().count(),
         "candidate_pairs": n_pairs,
         "matches": out["matches"].count(),

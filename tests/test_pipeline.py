@@ -59,6 +59,24 @@ def test_resume_skips_green_stages(spark, pipeline_run):
     assert resumed and not calls and df.count() == 600
 
 
+def test_marker_counters_match_recounts(spark, pipeline_run):
+    """jobs/er_job.py reports rows/candidate_pairs from the ingest/pairs
+    checkpoint markers instead of recounting inside the timed window — valid
+    only while every stage marker records the EXACT written row count."""
+    _, out, ckpt = pipeline_run
+    from mel_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt)
+    assert mgr.counters("ingest")["rows"] == out["mentions"].count()
+    assert mgr.counters("pairs")["rows"] == out["scored"].count()
+    # block_sizes counts RAW pre-salt keys; the pairing stage's distinct
+    # (post-salt/cap, singletons dropped) key count is a DIFFERENT number —
+    # er_job must keep recounting `blocks` rather than read this marker
+    raw_keys = mgr.read("block_index", spark).select("block_key").distinct().count()
+    assert mgr.counters("block_sizes")["rows"] == raw_keys
+    assert raw_keys != out["blocks"].select("block_key").distinct().count()
+
+
 def test_lineage_columns_present(pipeline_run):
     _, out, _ = pipeline_run
     for c in ("_stage", "_run_id", "_src_partition"):
