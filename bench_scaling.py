@@ -45,6 +45,13 @@ def run_once(cpus: int, input_dir: str, tag: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         MEL_SPARK_DRIVER_MEM=os.environ.get("MEL_SPARK_DRIVER_MEM", "24g"),
         MEL_SPARK_LOCAL_DIR=f"{SCRATCH}/local",
+        # cap hidden intra-op parallelism at the leg's core budget: numpy/
+        # OpenBLAS inside the Arrow workers would otherwise thread past the
+        # nominal local[N] width, letting the SMALL leg borrow host cores a
+        # real N-core executor does not have (inflates its throughput and
+        # understates scaling efficiency)
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
     )
     t0 = time.time()
     proc = subprocess.run(
@@ -55,8 +62,14 @@ def run_once(cpus: int, input_dir: str, tag: str) -> dict:
             "--driver-memory", env["MEL_SPARK_DRIVER_MEM"],
             # G1 on a shared local-mode heap showed pathological pauses for
             # this allocation profile (embed stage 4x slower at 64g); the
-            # throughput collector is stable across both parallelism levels
-            "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+            # throughput collector is stable across both parallelism levels.
+            # ParallelGCThreads is pinned to the leg's core budget: the JVM
+            # sizes it from the 32 HOST cores at both levels, which hands the
+            # local[N] leg 32-wide GC — parallelism a real N-core executor
+            # does not have (same honesty rule as OMP_NUM_THREADS below)
+            "--conf",
+            "spark.driver.extraJavaOptions="
+            f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus}",
             "--py-files", "/tmp/mel_spark_bench.zip",
             "jobs/er_job.py",
             "--input", input_dir,

@@ -83,7 +83,16 @@ class CheckpointManager:
             .withColumn("_run_id", F.lit(self.run_id))
             .withColumn("_src_partition", F.lit(src_partition))
         )
-        writer = out.write.mode("overwrite").format(self.fmt)
+        # row count via an Observation piggybacked on the write action itself:
+        # the count previously came from a full re-read scan of the written
+        # table — one extra pass over EVERY stage's output (at 10M rows that
+        # is gigabytes per stage, inside the stage's timed window). observe()
+        # aggregates on the data as it flows through the write, costing ~0.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.mode("overwrite").format(self.fmt)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         path = self._path(stage)
@@ -92,7 +101,10 @@ class CheckpointManager:
         # pin the schema: an empty stage writes no data files, and inference
         # would fail on re-read (degenerate-input contract, FIXTURES.md §7)
         reread = spark.read.format(self.fmt).schema(out.schema).load(path)
-        n = reread.count()
+        try:
+            n = obs.get["rows"]
+        except Exception:
+            n = reread.count()  # degenerate plans that report no metrics
         tmp = self._marker(stage) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(

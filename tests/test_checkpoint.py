@@ -86,3 +86,27 @@ def test_row_count_revalidated_on_resume(spark, tmp_path):
     assert not mgr.exists("s6", spark)
     out, resumed = mgr.get_or_compute("s6", spark, lambda: spark.range(100))
     assert not resumed and out.count() == 100
+
+
+def test_observed_count_empty_stage(spark, tmp_path):
+    """The marker row count comes from an Observation piggybacked on the
+    write (no re-read scan); an EMPTY stage writes no data files, so the
+    observed metric must still fire and record 0 — not hang or fall back
+    to a failed inference read."""
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.write("e0", spark.range(5).filter("id < 0").withColumn("t", F.lit("x")))
+    assert mgr.counters("e0")["rows"] == 0
+    assert mgr.exists("e0", spark)  # recount-on-resume agrees with 0
+
+
+def test_observed_count_partitioned_write(spark, tmp_path):
+    """partitionBy() routes the plan through a dynamic-partition write; the
+    observed count must equal the true total across partitions (the V1 write
+    path's observed-metrics corner)."""
+    mgr = CheckpointManager(str(tmp_path))
+    df = spark.range(57).withColumn("p", F.col("id") % 5)
+    mgr.write("p0", df, partition_by=["p"])
+    meta = mgr.counters("p0")
+    assert meta["rows"] == 57
+    assert mgr.read("p0", spark).count() == 57
+    assert mgr.exists("p0", spark)
