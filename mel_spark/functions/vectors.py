@@ -289,6 +289,35 @@ def emb_matrix(series: pd.Series) -> np.ndarray:
     return np.stack(vals).astype(np.float64)
 
 
+def emb_matrix_arrow(arr) -> np.ndarray:
+    """(batch, dim) float64 matrix straight off an Arrow emb column's flat
+    buffers — the mapInArrow twin of :func:`emb_matrix`. Handles both storage
+    formats: fp16-packed binary (offsets buffer + one values buffer viewed as
+    ``<f2``, zero per-row objects) and array<float> (``flatten()`` + reshape).
+    Rows must be non-null and equal-width (the featurizer invariant)."""
+    import pyarrow as pa
+
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        n = len(arr)
+        if n == 0:
+            return np.empty((0, 0), np.float64)
+        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offsets = np.frombuffer(arr.buffers()[1], off_dt)[
+            arr.offset : arr.offset + n + 1
+        ]
+        width = int(offsets[1] - offsets[0])
+        if int(offsets[-1] - offsets[0]) != n * width:
+            # ragged rows (shouldn't happen for embeddings) — per-row fallback
+            return np.stack(
+                [np.frombuffer(v.as_py(), dtype="<f2") for v in arr]
+            ).astype(np.float64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        flat = data[int(offsets[0]) : int(offsets[-1])].view("<f2")
+        return flat.reshape(n, width // 2).astype(np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1) if len(arr) else np.empty((0, 0), np.float64)
+
+
 def unpack_f16_udf():
     """Arrow-batched decode fp16 blob → array<float>, for the (off-hot-path)
     consumers that need a real array column: Catalyst cosine scoring and

@@ -117,20 +117,26 @@ def score_pairs_fused_arrow(
     w_jaccard: float = 0.4,
 ) -> DataFrame:
     """Pipeline fast path: cosine ⊕ jaccard fused score computed in ONE
-    batch-vectorized NumPy pass (mapInPandas) instead of Catalyst
+    batch-vectorized NumPy pass (mapInArrow) instead of Catalyst
     zip_with/aggregate folds + array_intersect, which allocate per-row arrays
     and were the pair stage's GC hotspot at scale.
 
     ``records`` rows must carry L2-normalized ``emb`` (the featurizer output,
-    so cosine ≡ dot) and sorted-distinct ``xs``. Jaccard is computed for the
-    whole batch at once with the same global pack-unique trick as the
-    featurizer (union size = distinct count of the concatenated sets).
+    so cosine ≡ dot) and sorted-distinct ``xs``. mapInArrow (not mapInPandas)
+    so the list columns arrive as FLAT Arrow buffers — no per-row ndarray
+    objects to materialize or concatenate. Jaccard exploits sortedness: the
+    packed keys ``(row_idx << 31) | shingle`` are GLOBALLY sorted on each side
+    (rows ascend, shingles ascend within a row), so per-row intersection sizes
+    come from one vectorized ``searchsorted`` — no sort at all. The previous
+    mapInPandas kernel's ``np.unique`` over the concatenated sides was an
+    O(n log n) full sort whose memory traffic made scoring tasks inflate
+    ~1.8× at 8 threads (BENCH/BASELINE.md round-4 forensics).
     Output: (id_a, id_b, block_key, cos, jaccard, score) rounded HALF_UP 6dp.
     """
     from collections.abc import Iterator as _It
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql.types import (
         DoubleType as _Dbl,
         LongType as _Lng,
@@ -175,44 +181,52 @@ def score_pairs_fused_arrow(
         # HALF_UP like F.round (np.round is banker's)
         return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
 
-    def _score(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        for pdf in batches:
-            B = len(pdf)
+    def _packed_keys(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """list<int> Arrow array → (lengths, row_idx, (row_idx<<31)|value),
+        all from the flat values buffer — zero per-row Python objects."""
+        la = pa.compute.list_value_length(arr).to_numpy().astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        ridx = np.repeat(np.arange(len(arr), dtype=np.int64), la)
+        return la, ridx, (ridx << np.int64(31)) | flat
+
+    def _score(batches: _It["pa.RecordBatch"]) -> _It["pa.RecordBatch"]:
+        for rb in batches:
+            B = rb.num_rows
             if B == 0:
                 continue
             # emb arrives as fp16-packed binary (the default checkpoint
-            # storage) or array<float>; V.emb_matrix decodes either
-            ea = V.emb_matrix(pdf["_emb_a"])
-            eb = V.emb_matrix(pdf["_emb_b"])
+            # storage) or array<float>; decode straight off Arrow buffers
+            ea = V.emb_matrix_arrow(rb.column("_emb_a"))
+            eb = V.emb_matrix_arrow(rb.column("_emb_b"))
             cos = _round6(np.einsum("ij,ij->i", ea, eb))
-            la = np.fromiter((len(x) for x in pdf["_xs_a"]), np.int64, B)
-            lb = np.fromiter((len(x) for x in pdf["_xs_b"]), np.int64, B)
-            flat = np.concatenate(
-                [np.concatenate([np.asarray(x, np.int64) for x in pdf["_xs_a"]]),
-                 np.concatenate([np.asarray(x, np.int64) for x in pdf["_xs_b"]])]
-            )
-            ridx = np.concatenate(
-                [np.repeat(np.arange(B, dtype=np.int64), la),
-                 np.repeat(np.arange(B, dtype=np.int64), lb)]
-            )
-            union = np.bincount(
-                np.unique((ridx << np.int64(31)) | flat) >> np.int64(31), minlength=B
-            )
-            inter = la + lb - union
+            la, _, keys_a = _packed_keys(rb.column("_xs_a"))
+            lb, ridx_b, keys_b = _packed_keys(rb.column("_xs_b"))
+            # both key arrays are sorted (rows ascend; xs sorted-distinct
+            # within a row) → vectorized merge-intersection via searchsorted
+            pos = np.searchsorted(keys_a, keys_b)
+            pos_ok = pos < len(keys_a)
+            hit = np.zeros(len(keys_b), dtype=bool)
+            hit[pos_ok] = keys_a[pos[pos_ok]] == keys_b[pos_ok]
+            inter = np.bincount(ridx_b[hit], minlength=B)
+            union = la + lb - inter
             jac = _round6(inter / np.maximum(union, 1))
             score = _round6((w_cos * cos + w_jaccard * jac) / total_w)
-            yield pd.DataFrame(
-                {
-                    "mention_id_a": pdf["mention_id_a"].to_numpy(),
-                    "mention_id_b": pdf["mention_id_b"].to_numpy(),
-                    "block_key": pdf["block_key"].to_numpy(),
-                    "cos": cos,
-                    "jaccard": jac,
-                    "score": score,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("mention_id_a"),
+                    rb.column("mention_id_b"),
+                    rb.column("block_key"),
+                    pa.array(cos, type=pa.float64()),
+                    pa.array(jac, type=pa.float64()),
+                    pa.array(score, type=pa.float64()),
+                ],
+                names=[
+                    "mention_id_a", "mention_id_b", "block_key",
+                    "cos", "jaccard", "score",
+                ],
             )
 
-    return joined.mapInPandas(_score, schema)
+    return joined.mapInArrow(_score, schema)
 
 
 def hard_negative_pairs(
