@@ -113,20 +113,28 @@ def featurize_map(
     th_col: str = "_th",
     id_col: str = "csid",
     emb_format: str = "f32",
+    engine: str = "pandas",
 ):
     """One Arrow pass computing EVERY per-document feature the ER pipeline
     needs — embedding, sorted-distinct shingle hashes (xs), and minhash band
     keys — vectorized ACROSS the batch (no per-document Python loop on the
     hot path). Input rows: (id_col, th_col = pre-hashed token ints from
-    text.token_int_hashes, the one JVM xxhash64 pass). Returns a mapInPandas
-    function + output schema.
+    text.token_int_hashes, the one JVM xxhash64 pass). Returns a
+    (function, schema) pair: ``engine="pandas"`` for mapInPandas (reference
+    form, kept for tests/ad-hoc use), ``engine="arrow"`` for mapInArrow —
+    the pipeline hot path. Both share ONE math kernel over (lens, flat)
+    arrays; only the batch decode/encode differs. The arrow form reads the
+    token-hash list column as a FLAT buffer and emits list columns as
+    (offsets, values) pairs — no per-row ndarray/bytes objects, no pandas
+    conversion, which halved the scorer's bandwidth footprint when applied
+    there (BENCH/PAIR_STAGE.md) and is what lets Python workers scale with
+    cores on a bandwidth-shared host.
 
-    Why: the Catalyst form of this computation (32 `transform` permutations ×
-    `array_min` over ~80-element arrays per row) allocates a fresh array per
-    permutation per row — JVM allocation/GC saturates and the stage scaled
-    only ~1.5× from 2→8 threads (BENCH r1). Here the same integer math runs
-    as ~40 flat NumPy passes per 10k-row batch in C, allocation-light, and
-    Python workers scale linearly with cores.
+    Why not Catalyst: the expression form of this computation (32 `transform`
+    permutations × `array_min` over ~80-element arrays per row) allocates a
+    fresh array per permutation per row — JVM allocation/GC saturates and the
+    stage scaled only ~1.5× from 2→8 threads (BENCH r1). Here the same
+    integer math runs as ~40 flat NumPy passes per 10k-row batch in C.
 
     The formulas are BIT-IDENTICAL to the Catalyst builders
     (text.shingle_hashes_from_token_ints / minhash_signature_from_ints /
@@ -181,6 +189,79 @@ def featurize_map(
         idx = np.minimum(np.arange(shingle_n), len(t) - 1)
         return np.array([(t[idx] * sh_coefs).sum() % P], dtype=np.int64)
 
+    def _core(
+        lens: np.ndarray, flat: np.ndarray, D: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """The shared math kernel over segmented flat arrays. Returns
+        (vecs (D,dim) f32 L2-normed, u_val int32 flat sorted-distinct-per-doc,
+        starts_u (D,) int64 segment starts into u_val, band_keys (D,bands))."""
+        doc_starts = np.zeros(D, np.int64)
+        np.cumsum(lens[:-1], out=doc_starts[1:])
+
+        # ---- embedding: bucket gather + segmented sum (buckets = th mod
+        # vocab_buckets, exact because vocab_buckets divides 2^30) ----
+        vecs = np.zeros((D, dim), dtype=np.float32)
+        nz = lens > 0
+        if nz.any():
+            starts_nz = doc_starts[nz]
+            # vocab_buckets is a power of two → mask instead of modulo
+            vecs[nz] = np.add.reduceat(
+                proj[flat & np.int64(vocab_buckets - 1)], starts_nz, axis=0
+            )
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs /= norms
+
+        # ---- shingle hashes: shifted-add convolution over the flat
+        # token-hash array, masked to within-document positions ----
+        total = len(flat)
+        g = sh_coefs[0] * flat
+        for j in range(1, shingle_n):
+            g[: total - j] += sh_coefs[j] * flat[j:]
+        g %= P
+        docidx = np.repeat(np.arange(D, dtype=np.int64), lens)
+        pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts[docidx]
+        valid = pos_in_doc <= lens[docidx] - shingle_n
+        sh = g[valid]
+        sh_doc = docidx[valid]
+        shorts = np.flatnonzero(lens < shingle_n)
+        if len(shorts):
+            extra = [
+                _clamped_grams(flat[doc_starts[s] : doc_starts[s] + lens[s]])
+                for s in shorts
+            ]
+            sh = np.concatenate([sh, np.concatenate(extra)])
+            sh_doc = np.concatenate(
+                [sh_doc, np.repeat(shorts.astype(np.int64), [len(e) for e in extra])]
+            )
+
+        # ---- per-doc sorted-distinct via one global unique over
+        # (doc << 31 | hash); hashes < P < 2^31 so the pack is lossless ----
+        u = np.unique((sh_doc << np.int64(31)) | sh)
+        u_doc = u >> np.int64(31)
+        u_val = (u & np.int64((1 << 31) - 1)).astype(np.int32)
+        starts_u = np.searchsorted(u_doc, np.arange(D, dtype=np.int64))
+
+        # ---- minhash signature minima + integer band keys ----
+        u_val64 = u_val.astype(np.int64)
+        sig = np.empty((D, num_hashes), dtype=np.int64)
+        for h in range(num_hashes):
+            ph = (params[h, 0] * u_val64 + params[h, 1]) % P
+            sig[:, h] = np.minimum.reduceat(ph, starts_u)
+        band_keys = np.zeros((D, bands), dtype=np.int64)
+        for b in range(bands):
+            acc = np.zeros(D, dtype=np.int64)
+            for j in range(rows_per_band):
+                acc += band_coefs[j] * sig[:, b * rows_per_band + j]
+            band_keys[:, b] = (acc + np.int64(b) * np.int64(1_000_000_007)) % band_mod
+        return vecs, u_val, starts_u, band_keys
+
+    _null_msg = (
+        "featurize_map: document with NULL/zero-length token array "
+        "(ids {ids}...). Upstream must "
+        "canonicalize NULL content to '' (pipeline.ingest does)."
+    )
+
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             th = pdf[th_col]
@@ -195,74 +276,15 @@ def featurize_map(
             # layers into the shingle kernel.
             bad = [t is None or len(t) == 0 for t in th]
             if any(bad):
-                raise ValueError(
-                    "featurize_map: document with NULL/zero-length token array "
-                    f"(ids {pdf[id_col][bad].tolist()[:5]}...). Upstream must "
-                    "canonicalize NULL content to '' (pipeline.ingest does)."
-                )
+                raise ValueError(_null_msg.format(ids=pdf[id_col][bad].tolist()[:5]))
             lens = np.fromiter((len(t) for t in th), np.int64, D)
             flat = (
                 np.concatenate([np.asarray(t, np.int64) for t in th])
                 if lens.sum()
                 else np.empty(0, np.int64)
             )
-            doc_starts = np.zeros(D, np.int64)
-            np.cumsum(lens[:-1], out=doc_starts[1:])
-
-            # ---- embedding: bucket gather + segmented sum (buckets = th mod
-            # vocab_buckets, exact because vocab_buckets divides 2^30) ----
-            vecs = np.zeros((D, dim), dtype=np.float32)
-            nz = lens > 0
-            if nz.any():
-                starts_nz = doc_starts[nz]
-                # vocab_buckets is a power of two → mask instead of modulo
-                vecs[nz] = np.add.reduceat(
-                    proj[flat & np.int64(vocab_buckets - 1)], starts_nz, axis=0
-                )
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            vecs /= norms
-
-            # ---- shingle hashes: shifted-add convolution over the flat
-            # token-hash array, masked to within-document positions ----
-            total = len(flat)
-            g = sh_coefs[0] * flat
-            for j in range(1, shingle_n):
-                g[: total - j] += sh_coefs[j] * flat[j:]
-            g %= P
-            docidx = np.repeat(np.arange(D, dtype=np.int64), lens)
-            pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts[docidx]
-            valid = pos_in_doc <= lens[docidx] - shingle_n
-            sh = g[valid]
-            sh_doc = docidx[valid]
-            shorts = np.flatnonzero(lens < shingle_n)
-            if len(shorts):
-                extra = [_clamped_grams(np.asarray(th.iloc[int(s)], np.int64)) for s in shorts]
-                sh = np.concatenate([sh, np.concatenate(extra)])
-                sh_doc = np.concatenate(
-                    [sh_doc, np.repeat(shorts.astype(np.int64), [len(e) for e in extra])]
-                )
-
-            # ---- per-doc sorted-distinct via one global unique over
-            # (doc << 31 | hash); hashes < P < 2^31 so the pack is lossless ----
-            u = np.unique((sh_doc << np.int64(31)) | sh)
-            u_doc = u >> np.int64(31)
-            u_val = u & np.int64((1 << 31) - 1)
-            starts_u = np.searchsorted(u_doc, np.arange(D, dtype=np.int64))
-            xs_lists = np.split(u_val.astype(np.int32), starts_u[1:])
-
-            # ---- minhash signature minima + integer band keys ----
-            sig = np.empty((D, num_hashes), dtype=np.int64)
-            for h in range(num_hashes):
-                ph = (params[h, 0] * u_val + params[h, 1]) % P
-                sig[:, h] = np.minimum.reduceat(ph, starts_u)
-            band_keys = np.zeros((D, bands), dtype=np.int64)
-            for b in range(bands):
-                acc = np.zeros(D, dtype=np.int64)
-                for j in range(rows_per_band):
-                    acc += band_coefs[j] * sig[:, b * rows_per_band + j]
-                band_keys[:, b] = (acc + np.int64(b) * np.int64(1_000_000_007)) % band_mod
-
+            vecs, u_val, starts_u, band_keys = _core(lens, flat, D)
+            xs_lists = np.split(u_val, starts_u[1:])
             if emb_format == "f16":
                 emb_out = [v.astype("<f2").tobytes() for v in vecs]
             else:
@@ -276,7 +298,69 @@ def featurize_map(
                 }
             )
 
-    return _featurize, schema
+    def _featurize_arrow(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc  # noqa: F401 — pa.compute is lazy
+
+        def _empty():
+            emb_t = pa.binary() if emb_format == "f16" else pa.list_(pa.float32())
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], emb_t),
+                    pa.array([], pa.list_(pa.int32())),
+                    pa.array([], pa.list_(pa.int64())),
+                ],
+                names=[id_col, "emb", "xs", "bands"],
+            )
+
+        for rb in batches:
+            D = rb.num_rows
+            if D == 0:
+                yield _empty()
+                continue
+            th = rb.column(th_col)
+            ids = rb.column(id_col)
+            lens = pc.list_value_length(th)
+            if th.null_count or pc.min(lens).as_py() == 0:
+                bad = pc.fill_null(pc.equal(lens, 0), True)
+                raise ValueError(
+                    _null_msg.format(ids=ids.filter(bad).to_pylist()[:5])
+                )
+            lens = lens.to_numpy().astype(np.int64)
+            flat = th.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            vecs, u_val, starts_u, band_keys = _core(lens, flat, D)
+
+            xs_off = np.empty(D + 1, np.int32)
+            xs_off[:D] = starts_u
+            xs_off[D] = len(u_val)
+            xs_arr = pa.ListArray.from_arrays(
+                pa.array(xs_off), pa.array(u_val, pa.int32())
+            )
+            bd_off = np.arange(D + 1, dtype=np.int32) * bands
+            bd_arr = pa.ListArray.from_arrays(
+                pa.array(bd_off), pa.array(band_keys.ravel(), pa.int64())
+            )
+            if emb_format == "f16":
+                blob = np.ascontiguousarray(vecs.astype("<f2")).tobytes()
+                eb_off = np.arange(D + 1, dtype=np.int32) * (dim * 2)
+                emb_arr = pa.Array.from_buffers(
+                    pa.binary(), D,
+                    [None, pa.py_buffer(eb_off.tobytes()), pa.py_buffer(blob)],
+                )
+            else:
+                eb_off = np.arange(D + 1, dtype=np.int32) * dim
+                emb_arr = pa.ListArray.from_arrays(
+                    pa.array(eb_off), pa.array(vecs.ravel(), pa.float32())
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, emb_arr, xs_arr, bd_arr],
+                names=[id_col, "emb", "xs", "bands"],
+            )
+
+    if engine not in ("pandas", "arrow"):
+        raise ValueError(f"engine must be 'pandas' or 'arrow', got {engine!r}")
+    return (_featurize_arrow if engine == "arrow" else _featurize), schema
 
 
 def emb_matrix(series: pd.Series) -> np.ndarray:

@@ -137,6 +137,7 @@ def score_pairs_fused_arrow(
 
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc  # explicit: pa.compute is a lazy submodule
     from pyspark.sql.types import (
         DoubleType as _Dbl,
         LongType as _Lng,
@@ -184,7 +185,7 @@ def score_pairs_fused_arrow(
     def _packed_keys(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """list<int> Arrow array → (lengths, row_idx, (row_idx<<31)|value),
         all from the flat values buffer — zero per-row Python objects."""
-        la = pa.compute.list_value_length(arr).to_numpy().astype(np.int64)
+        la = pc.list_value_length(arr).to_numpy().astype(np.int64)
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         ridx = np.repeat(np.arange(len(arr), dtype=np.int64), la)
         return la, ridx, (ridx << np.int64(31)) | flat

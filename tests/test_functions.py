@@ -271,3 +271,62 @@ def test_featurize_map_matches_catalyst_builders(spark):
         import numpy as np
 
         assert np.allclose(np.array(g["emb"]), np.array(r["emb"]), atol=1e-6)
+
+    # the arrow engine (pipeline hot path, mapInArrow) must be BIT-IDENTICAL
+    # to the pandas engine on every column, both storage formats
+    for fmt in ("f32", "f16"):
+        pd_fn, sch = V.featurize_map(
+            dim=64, shingle_n=3, num_hashes=32, bands=16, emb_format=fmt
+        )
+        ar_fn, _ = V.featurize_map(
+            dim=64, shingle_n=3, num_hashes=32, bands=16, emb_format=fmt,
+            engine="arrow",
+        )
+        ref = {r["csid"]: r for r in staged.mapInPandas(pd_fn, sch).collect()}
+        arr = {r["csid"]: r for r in staged.mapInArrow(ar_fn, sch).collect()}
+        assert set(ref) == set(arr)
+        for k, r in ref.items():
+            a = arr[k]
+            assert list(a["xs"]) == list(r["xs"]), (fmt, k)
+            assert list(a["bands"]) == list(r["bands"]), (fmt, k)
+            if fmt == "f16":
+                assert a["emb"] == r["emb"], (fmt, k)  # exact bytes
+            else:
+                assert list(a["emb"]) == list(r["emb"]), (fmt, k)
+
+
+def test_featurize_map_arrow_rejects_null_and_empty(spark):
+    """The arrow engine enforces the same ingest-canonicalization contract
+    as the pandas engine: NULL or zero-length token arrays are named errors,
+    not IndexErrors in the kernel."""
+    import pyarrow as pa
+    import pytest
+
+    from mel_spark.functions import vectors as V
+
+    fn, _ = V.featurize_map(engine="arrow")
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2], pa.int64()),
+            pa.array([[5, 7, 9], []], pa.list_(pa.int64())),
+        ],
+        names=["csid", "_th"],
+    )
+    with pytest.raises(ValueError, match="canonicalize NULL content"):
+        list(fn(iter([rb])))
+    rb_null = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2], pa.int64()),
+            pa.array([[5, 7, 9], None], pa.list_(pa.int64())),
+        ],
+        names=["csid", "_th"],
+    )
+    with pytest.raises(ValueError, match="canonicalize NULL content"):
+        list(fn(iter([rb_null])))
+    # empty batch → empty typed batch, not a crash
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.list_(pa.int64()))],
+        names=["csid", "_th"],
+    )
+    out = list(fn(iter([empty])))
+    assert len(out) == 1 and out[0].num_rows == 0
