@@ -27,7 +27,7 @@ import time
 SCRATCH = os.environ.get("MEL_BENCH_SCRATCH", "/dev/shm/er_bench")
 
 
-def run_once(cpus: int, input_dir: str, tag: str) -> dict:
+def run_once(cpus: int, input_dir: str, tag: str, cpuset: bool = False) -> dict:
     # checkpoints + shuffle scratch on tmpfs: the sandbox has ONE virtual disk,
     # which serializes stage IO and masks compute scaling; cluster nodes have
     # per-executor local disks (same reasoning as the driver's two-parallelism
@@ -53,9 +53,21 @@ def run_once(cpus: int, input_dir: str, tag: str) -> dict:
         OMP_NUM_THREADS="1",
         OPENBLAS_NUM_THREADS="1",
     )
+    # --cpuset: confine the WHOLE leg (JVM task threads + Python workers +
+    # GC + OS noise) to exactly `cpus` host cores with taskset. This is the
+    # strict reading of the driver's "N and 4N cores" instruction: a real
+    # N-core executor's Python workers timeshare its N cores with the JVM —
+    # they do not spill onto an idle host. Without it the small leg's ~2N
+    # active threads spread over 32 idle cores (private L3 slices, no
+    # timesharing), inflating its throughput and understating N→4N
+    # efficiency; the effect GROWS as the code gets faster per byte, which
+    # is why post-optimization rounds measured LOWER ratios on identical
+    # plans (BENCH/BASELINE.md round-4 narrative).
+    taskset_prefix = ["taskset", "-c", f"0-{cpus - 1}"] if cpuset else []
     t0 = time.time()
     proc = subprocess.run(
-        [
+        taskset_prefix
+        + [
             "spark-submit",
             # must be on the submit line: spark.driver.memory set in-session
             # is ignored once the JVM is up, leaving the default 1g heap
@@ -107,6 +119,10 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=2, help="small parallelism (large = 4n)")
     ap.add_argument("--repeats", type=int, default=2, help="best-of repeats per level")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument(
+        "--cpuset", action="store_true",
+        help="taskset each leg to exactly its core budget (N and 4N cores)",
+    )
     args = ap.parse_args()
 
     import zipfile
@@ -132,8 +148,8 @@ def main() -> int:
     # writeback interference; best-of filters it (standard throughput practice)
     runs_small, runs_large = [], []
     for r in range(args.repeats):
-        runs_small.append(run_once(args.n, input_dir, f"{args.files}_r{r}"))
-        runs_large.append(run_once(4 * args.n, input_dir, f"{args.files}_r{r}"))
+        runs_small.append(run_once(args.n, input_dir, f"{args.files}_r{r}", cpuset=args.cpuset))
+        runs_large.append(run_once(4 * args.n, input_dir, f"{args.files}_r{r}", cpuset=args.cpuset))
         print(
             f"rep {r}: small {runs_small[-1]['elapsed_sec']}s, "
             f"large {runs_large[-1]['elapsed_sec']}s",

@@ -200,14 +200,27 @@ def featurize_map(
 
         # ---- embedding: bucket gather + segmented sum (buckets = th mod
         # vocab_buckets, exact because vocab_buckets divides 2^30) ----
+        # Chunked by docs: the gather proj[tokens] materializes
+        # tokens×dim×4 B (≈100 MB per 10k-doc batch) before the segmented
+        # sum. On a bandwidth-shared host that full-batch intermediate is
+        # pure DRAM traffic; per ~512-doc chunk it stays ~5 MB (cache-warm)
+        # and the arithmetic is unchanged (reduceat segments never span
+        # chunk boundaries because chunks split ON doc starts).
         vecs = np.zeros((D, dim), dtype=np.float32)
         nz = lens > 0
         if nz.any():
-            starts_nz = doc_starts[nz]
-            # vocab_buckets is a power of two → mask instead of modulo
-            vecs[nz] = np.add.reduceat(
-                proj[flat & np.int64(vocab_buckets - 1)], starts_nz, axis=0
-            )
+            mask = np.int64(vocab_buckets - 1)
+            EMB_CH = 512
+            for c0 in range(0, D, EMB_CH):
+                c1 = min(c0 + EMB_CH, D)
+                cnz = np.flatnonzero(nz[c0:c1]) + c0
+                if not len(cnz):
+                    continue
+                s = doc_starts[c0]
+                e = doc_starts[c1] if c1 < D else len(flat)
+                vecs[cnz] = np.add.reduceat(
+                    proj[flat[s:e] & mask], doc_starts[cnz] - s, axis=0
+                )
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vecs /= norms
@@ -243,11 +256,29 @@ def featurize_map(
         starts_u = np.searchsorted(u_doc, np.arange(D, dtype=np.int64))
 
         # ---- minhash signature minima + integer band keys ----
+        # Chunked by docs for the same bandwidth reason as the embedding
+        # gather: the naive loop streams the full shingle array from DRAM
+        # 32× (once per hash); per ~2048-doc chunk the segment (~1.3 MB)
+        # stays cache-warm across all 32 passes — ~32× less DRAM traffic
+        # for identical arithmetic. ph buffers are preallocated and reused.
         u_val64 = u_val.astype(np.int64)
         sig = np.empty((D, num_hashes), dtype=np.int64)
-        for h in range(num_hashes):
-            ph = (params[h, 0] * u_val64 + params[h, 1]) % P
-            sig[:, h] = np.minimum.reduceat(ph, starts_u)
+        MH_CH = 2048
+        ph = np.empty(0, np.int64)
+        for c0 in range(0, D, MH_CH):
+            c1 = min(c0 + MH_CH, D)
+            s = starts_u[c0]
+            e = starts_u[c1] if c1 < D else len(u_val64)
+            seg = u_val64[s:e]
+            st = starts_u[c0:c1] - s
+            if len(seg) > len(ph):
+                ph = np.empty(len(seg), np.int64)
+            pv = ph[: len(seg)]
+            for h in range(num_hashes):
+                np.multiply(seg, params[h, 0], out=pv)
+                np.add(pv, params[h, 1], out=pv)
+                np.mod(pv, P, out=pv)
+                sig[c0:c1, h] = np.minimum.reduceat(pv, st)
         band_keys = np.zeros((D, bands), dtype=np.int64)
         for b in range(bands):
             acc = np.zeros(D, dtype=np.int64)

@@ -330,3 +330,68 @@ def test_featurize_map_arrow_rejects_null_and_empty(spark):
     )
     out = list(fn(iter([empty])))
     assert len(out) == 1 and out[0].num_rows == 0
+
+
+def test_featurize_kernel_chunking_matches_per_doc_reference():
+    """The doc-chunked embedding gather and minhash loops (bandwidth
+    optimization, chunk sizes 512/2048) must be bit-identical to a naive
+    per-document computation — exercised with >2048 docs of varied lengths
+    so multiple chunk boundaries are crossed."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mel_spark.functions import vectors as V
+    from mel_spark.functions.text import MINHASH_P, _minhash_params
+
+    rng = np.random.default_rng(7)
+    D, dim, vocab, n_hashes, bands, shingle_n = 3000, 16, 4096, 32, 16, 3
+    lens = rng.integers(1, 12, D)
+    toks = [rng.integers(0, 1 << 30, int(n)).tolist() for n in lens]
+
+    fn, _ = V.featurize_map(
+        dim=dim, vocab_buckets=vocab, shingle_n=shingle_n,
+        num_hashes=n_hashes, bands=bands, engine="arrow",
+    )
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(D), pa.int64()), pa.array(toks, pa.list_(pa.int64()))],
+        names=["csid", "_th"],
+    )
+    out = list(fn(iter([rb])))[0]
+    got_emb = V.emb_matrix_arrow(out.column("emb"))
+    got_xs = out.column("xs").to_pylist()
+    got_bands = out.column("bands").to_pylist()
+
+    proj = V._projection_matrix(dim, vocab, 42)
+    sh_coefs = np.array([1000003, 9176, 523717, 31, 65599][:shingle_n], np.int64)
+    band_coefs = np.array([1000003, 9176, 523717, 31][: n_hashes // bands], np.int64)
+    params = np.array(_minhash_params(n_hashes, 42), np.int64)
+    P = np.int64(MINHASH_P)
+    for d in rng.choice(D, 300, replace=False):
+        t = np.asarray(toks[int(d)], np.int64)
+        # embedding: per-doc gather+sum, L2-normed
+        v = proj[t & np.int64(vocab - 1)].sum(axis=0)
+        v = (v / (np.linalg.norm(v) or 1.0)).astype(np.float32)
+        assert np.allclose(got_emb[d], v.astype(np.float64), atol=2e-3), d
+        # shingles: per-doc convolution (or clamped gram for short docs)
+        if len(t) >= shingle_n:
+            sh = np.array(
+                [(t[i : i + shingle_n] * sh_coefs).sum() % P
+                 for i in range(len(t) - shingle_n + 1)], np.int64,
+            )
+        else:
+            idx = np.minimum(np.arange(shingle_n), len(t) - 1)
+            sh = np.array([(t[idx] * sh_coefs).sum() % P], np.int64)
+        xs_ref = np.unique(sh)
+        assert list(got_xs[d]) == xs_ref.tolist(), d
+        # minhash sig + band keys
+        sig = np.array(
+            [((params[h, 0] * xs_ref + params[h, 1]) % P).min()
+             for h in range(n_hashes)], np.int64,
+        )
+        rpb = n_hashes // bands
+        bk = [
+            (int((band_coefs * sig[b * rpb : (b + 1) * rpb]).sum())
+             + b * 1_000_000_007) % (int(P) * 4)
+            for b in range(bands)
+        ]
+        assert list(got_bands[d]) == bk, d
