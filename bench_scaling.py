@@ -27,7 +27,14 @@ import time
 SCRATCH = os.environ.get("MEL_BENCH_SCRATCH", "/dev/shm/er_bench")
 
 
-def run_once(cpus: int, input_dir: str, tag: str, cpuset: bool = False) -> dict:
+def run_once(
+    cpus: int,
+    input_dir: str,
+    tag: str,
+    cpuset: bool = False,
+    executors: bool = False,
+    executor_mem_mb: int = 6144,
+) -> dict:
     # checkpoints + shuffle scratch on tmpfs: the sandbox has ONE virtual disk,
     # which serializes stage IO and masks compute scaling; cluster nodes have
     # per-executor local disks (same reasoning as the driver's two-parallelism
@@ -64,11 +71,29 @@ def run_once(cpus: int, input_dir: str, tag: str, cpuset: bool = False) -> dict:
     # is why post-optimization rounds measured LOWER ratios on identical
     # plans (BENCH/BASELINE.md round-4 narrative).
     taskset_prefix = ["taskset", "-c", f"0-{cpus - 1}"] if cpuset else []
-    t0 = time.time()
-    proc = subprocess.run(
-        taskset_prefix
-        + [
-            "spark-submit",
+    if executors:
+        # --executors: `local-cluster[cpus,1,mem]` — `cpus` REAL executor
+        # JVMs, 1 core + a dedicated heap + its own GC + its own Python
+        # workers each. This is the literal north_rule shape ("N and 4N
+        # executors"): scaling adds whole executors, not threads inside one
+        # shared heap. The driver heap stays small and FIXED across levels
+        # (it only plans/coordinates); per-executor memory is identical
+        # across levels, so the 4N leg has 4x the aggregate heap exactly as
+        # a 4x-bigger cluster would. GC threads pinned to the executor's
+        # 1-core budget.
+        env["MEL_SPARK_MASTER"] = f"local-cluster[{cpus},1,{executor_mem_mb}]"
+        env["MEL_SPARK_DRIVER_MEM"] = "4g"
+        mem_flags = [
+            "--driver-memory", "4g",
+            "--conf", f"spark.executor.memory={executor_mem_mb - 1024}m",
+            "--conf", "spark.executor.extraJavaOptions="
+                      "-XX:+UseParallelGC -XX:ParallelGCThreads=1",
+            "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+            "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
+            "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
+        ]
+    else:
+        mem_flags = [
             # must be on the submit line: spark.driver.memory set in-session
             # is ignored once the JVM is up, leaving the default 1g heap
             "--driver-memory", env["MEL_SPARK_DRIVER_MEM"],
@@ -82,6 +107,13 @@ def run_once(cpus: int, input_dir: str, tag: str, cpuset: bool = False) -> dict:
             "--conf",
             "spark.driver.extraJavaOptions="
             f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus}",
+        ]
+    t0 = time.time()
+    proc = subprocess.run(
+        taskset_prefix
+        + ["spark-submit"]
+        + mem_flags
+        + [
             "--py-files", "/tmp/mel_spark_bench.zip",
             "jobs/er_job.py",
             "--input", input_dir,
@@ -123,6 +155,18 @@ def main() -> int:
         "--cpuset", action="store_true",
         help="taskset each leg to exactly its core budget (N and 4N cores)",
     )
+    ap.add_argument(
+        "--executors", action="store_true",
+        help="run each leg as local-cluster[N,1,mem]: N real executor JVMs "
+             "(own heap/GC/Python workers) instead of N threads in one JVM — "
+             "the literal 'N vs 4N executors' shape of the north_rule",
+    )
+    ap.add_argument(
+        "--executor-mem-mb", type=int, default=6144,
+        help="per-executor worker memory (MB) in --executors mode, identical "
+             "across levels (the 4N leg gets 4x aggregate heap, like a real "
+             "4x cluster)",
+    )
     args = ap.parse_args()
 
     import zipfile
@@ -147,9 +191,11 @@ def main() -> int:
     # interleaved best-of-R: single runs on a shared box carry page-cache /
     # writeback interference; best-of filters it (standard throughput practice)
     runs_small, runs_large = [], []
+    kw = dict(cpuset=args.cpuset, executors=args.executors,
+              executor_mem_mb=args.executor_mem_mb)
     for r in range(args.repeats):
-        runs_small.append(run_once(args.n, input_dir, f"{args.files}_r{r}", cpuset=args.cpuset))
-        runs_large.append(run_once(4 * args.n, input_dir, f"{args.files}_r{r}", cpuset=args.cpuset))
+        runs_small.append(run_once(args.n, input_dir, f"{args.files}_r{r}", **kw))
+        runs_large.append(run_once(4 * args.n, input_dir, f"{args.files}_r{r}", **kw))
         print(
             f"rep {r}: small {runs_small[-1]['elapsed_sec']}s, "
             f"large {runs_large[-1]['elapsed_sec']}s",
@@ -166,13 +212,18 @@ def main() -> int:
     e2e_large = large["candidate_pairs"] / large["elapsed_sec"]
     eff_e2e = e2e_large / (4 * e2e_small)
 
+    if args.executors:
+        lbl_s = f"local-cluster[{args.n},1,{args.executor_mem_mb}]"
+        lbl_l = f"local-cluster[{4 * args.n},1,{args.executor_mem_mb}]"
+    else:
+        lbl_s, lbl_l = f"local[{args.n}]", f"local[{4 * args.n}]"
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         f.write(f"""# BENCH — two-parallelism scaling evidence (north_rule)
 
 No multi-node cluster exists in this sandbox, so per driver instruction the
-identical `spark-submit --py-files` job ran at **local[{args.n}]** and
-**local[{4 * args.n}]** on the same pre-generated input
+identical `spark-submit --py-files` job ran at **{lbl_s}** and
+**{lbl_l}** on the same pre-generated input
 ({args.files} files, seed 42, planted near-dup clusters). Both parallelism
 levels leave full physical-core headroom on the 32-core box (task threads +
 Python UDF workers + GC never oversubscribe), emulating dedicated
@@ -180,7 +231,7 @@ per-executor resources; shuffle scratch + checkpoints are on tmpfs, playing
 the role of per-node local disks. Heap (24g) and GC (ParallelGC) identical
 across levels — only the thread count differs.
 
-| metric | local[{args.n}] | local[{4 * args.n}] |
+| metric | {lbl_s} | {lbl_l} |
 |---|---|---|
 | candidate pairs scored | {small['candidate_pairs']} | {large['candidate_pairs']} |
 | end-to-end job wall (s) | {small['elapsed_sec']} | {large['elapsed_sec']} |
@@ -197,7 +248,7 @@ fixed scheduling overhead — the end-to-end number is the meaningful one).
 
 Stage wall-times (s):
 
-| stage | local[{args.n}] | local[{4 * args.n}] |
+| stage | {lbl_s} | {lbl_l} |
 |---|---|---|
 """)
         for st in ("ingest", "embed", "block_index", "block_sizes", "blocks",

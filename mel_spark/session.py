@@ -25,7 +25,11 @@ def get_spark(
     same entry point serves pytest, bench, and spark-submit (where --master wins).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    # MEL_SPARK_MASTER overrides the thread-mode default — the scaling bench
+    # uses it to run `local-cluster[N,cores,memMB]`: REAL separate executor
+    # JVMs (own heap, own GC, own Python workers), the literal "N vs 4N
+    # executors" shape of the north_rule rather than N threads in one JVM.
+    master = master or os.environ.get("MEL_SPARK_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         # FIXED across parallelism levels (a real cluster job ships one
         # shuffle.partitions regardless of executor count): pinning it to the
