@@ -34,6 +34,7 @@ def run_once(
     cpuset: bool = False,
     executors: bool = False,
     executor_mem_mb: int = 6144,
+    executor_cores: int = 1,
 ) -> dict:
     # checkpoints + shuffle scratch on tmpfs: the sandbox has ONE virtual disk,
     # which serializes stage IO and masks compute scaling; cluster nodes have
@@ -70,7 +71,8 @@ def run_once(
     # efficiency; the effect GROWS as the code gets faster per byte, which
     # is why post-optimization rounds measured LOWER ratios on identical
     # plans (BENCH/BASELINE.md round-4 narrative).
-    taskset_prefix = ["taskset", "-c", f"0-{cpus - 1}"] if cpuset else []
+    leg_cores = cpus * executor_cores if executors else cpus
+    taskset_prefix = ["taskset", "-c", f"0-{leg_cores - 1}"] if cpuset else []
     if executors:
         # --executors: `local-cluster[cpus,1,mem]` — `cpus` REAL executor
         # JVMs, 1 core + a dedicated heap + its own GC + its own Python
@@ -81,13 +83,20 @@ def run_once(
         # across levels, so the 4N leg has 4x the aggregate heap exactly as
         # a 4x-bigger cluster would. GC threads pinned to the executor's
         # 1-core budget.
-        env["MEL_SPARK_MASTER"] = f"local-cluster[{cpus},1,{executor_mem_mb}]"
+        # `cpus` counts EXECUTORS here (the ladder scales executors, the
+        # fixed per-executor shape is `executor_cores` cores + `mem`); with
+        # executor_cores>1 the per-core overheads that sank the 1-core probe
+        # (a broadcast copy, a Python worker pool, and a GC per core) amortize
+        # across the executor's cores, matching a real cluster's shape.
+        env["MEL_SPARK_MASTER"] = (
+            f"local-cluster[{cpus},{executor_cores},{executor_mem_mb}]"
+        )
         env["MEL_SPARK_DRIVER_MEM"] = "4g"
         mem_flags = [
             "--driver-memory", "4g",
             "--conf", f"spark.executor.memory={executor_mem_mb - 1024}m",
             "--conf", "spark.executor.extraJavaOptions="
-                      "-XX:+UseParallelGC -XX:ParallelGCThreads=1",
+                      f"-XX:+UseParallelGC -XX:ParallelGCThreads={executor_cores}",
             "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
             "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
             "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
@@ -162,6 +171,11 @@ def main() -> int:
              "the literal 'N vs 4N executors' shape of the north_rule",
     )
     ap.add_argument(
+        "--executor-cores", type=int, default=1,
+        help="cores per executor in --executors mode (fixed across levels; "
+             "the ladder scales the NUMBER of executors, n vs 4n)",
+    )
+    ap.add_argument(
         "--executor-mem-mb", type=int, default=6144,
         help="per-executor worker memory (MB) in --executors mode, identical "
              "across levels (the 4N leg gets 4x aggregate heap, like a real "
@@ -192,7 +206,8 @@ def main() -> int:
     # writeback interference; best-of filters it (standard throughput practice)
     runs_small, runs_large = [], []
     kw = dict(cpuset=args.cpuset, executors=args.executors,
-              executor_mem_mb=args.executor_mem_mb)
+              executor_mem_mb=args.executor_mem_mb,
+              executor_cores=args.executor_cores)
     for r in range(args.repeats):
         runs_small.append(run_once(args.n, input_dir, f"{args.files}_r{r}", **kw))
         runs_large.append(run_once(4 * args.n, input_dir, f"{args.files}_r{r}", **kw))
@@ -213,8 +228,8 @@ def main() -> int:
     eff_e2e = e2e_large / (4 * e2e_small)
 
     if args.executors:
-        lbl_s = f"local-cluster[{args.n},1,{args.executor_mem_mb}]"
-        lbl_l = f"local-cluster[{4 * args.n},1,{args.executor_mem_mb}]"
+        lbl_s = f"local-cluster[{args.n},{args.executor_cores},{args.executor_mem_mb}]"
+        lbl_l = f"local-cluster[{4 * args.n},{args.executor_cores},{args.executor_mem_mb}]"
     else:
         lbl_s, lbl_l = f"local[{args.n}]", f"local[{4 * args.n}]"
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
