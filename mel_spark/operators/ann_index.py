@@ -335,7 +335,10 @@ def ivf_index_topk(
     # the probe assignment feeds TWO consumers — the driver-side distinct
     # below and the candidate join — so persist it: without this the probe
     # (a mapInPandas matmul or a crossJoin+window) executes twice. Tiny
-    # table: nprobe rows per query, two ints each.
+    # table: nprobe rows per query, two ints each. Freed by the
+    # ContextCleaner once the returned plan is garbage-collected; the
+    # empty-probe early return unpersists explicitly since nothing
+    # downstream references it.
     q_cells = q_cells.persist()
 
     # static partition pruning: the distinct probed cells (≤ n_cells ints)
@@ -345,6 +348,7 @@ def ivf_index_topk(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
     )
     if not probed:
+        q_cells.unpersist()
         return spark.createDataFrame(
             [], schema="query_id long, neighbor_id long, cos double, rank int"
         )

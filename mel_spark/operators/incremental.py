@@ -474,7 +474,10 @@ def incremental_update(
     # direct corpus anti-join would sort-merge — i.e. shuffle — the corpus
     # id stream on every fold)
     def _ingest_delta() -> DataFrame:
-        ingested = ingest(new_repos)
+        # ingest() feeds TWO subtrees (the semi-join's broadcast build side
+        # and the anti-join's stream side) — materialize it once, or the
+        # batch's sha2 id derivation and scan run twice per fold
+        ingested = ingest(new_repos).localCheckpoint(eager=True)
         known_ids = mentions_b.select("mention_id").join(
             F.broadcast(ingested.select("mention_id")), "mention_id", "left_semi"
         )

@@ -199,7 +199,13 @@ def score_pairs_fused_arrow(
             # storage) or array<float>; decode straight off Arrow buffers
             ea = V.emb_matrix_arrow(rb.column("_emb_a"))
             eb = V.emb_matrix_arrow(rb.column("_emb_b"))
-            cos = _round6(np.einsum("ij,ij->i", ea, eb))
+            # divide by the actual norms, never trust stored normalization:
+            # fp16 storage re-quantizes AFTER the featurizer's L2-normalize,
+            # drifting row norms by up to ~1e-3 — a raw dot would leave the
+            # [-1, 1] range and move threshold decisions vs an f32 run
+            dn = np.linalg.norm(ea, axis=1) * np.linalg.norm(eb, axis=1)
+            dn[dn == 0] = 1.0
+            cos = _round6(np.einsum("ij,ij->i", ea, eb) / dn)
             la, _, keys_a = _packed_keys(rb.column("_xs_a"))
             lb, ridx_b, keys_b = _packed_keys(rb.column("_xs_b"))
             # both key arrays are sorted (rows ascend; xs sorted-distinct

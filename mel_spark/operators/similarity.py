@@ -64,23 +64,28 @@ _INDEX_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 def _index_content_token(path: str) -> tuple:
     """Cheap content identity for a parquet dir/file: sorted (relpath, size,
-    mtime_ns) of its data files. Local-fs only — object stores should pass an
-    explicit version via a distinct path (the checkpoint layout already does:
-    markers record row counts, rewrites go through overwrite+marker)."""
+    mtime_ns) of its data files. Local-fs only; a path os.stat cannot reach
+    (s3://, hdfs:// — pyarrow reads those natively in the loader) degrades to
+    an unversioned token, i.e. the pre-fingerprint behavior of caching purely
+    by path — object stores should version via a distinct path (the
+    checkpoint layout already does: rewrites go through overwrite+marker)."""
     import os as _os
 
     entries = []
-    if _os.path.isdir(path):
-        for root, _, files in _os.walk(path):
-            for f in files:
-                if f.startswith(("_", ".")):
-                    continue
-                st = _os.stat(_os.path.join(root, f))
-                entries.append((_os.path.relpath(_os.path.join(root, f), path),
-                                st.st_size, st.st_mtime_ns))
-    else:
-        st = _os.stat(path)
-        entries.append((path, st.st_size, st.st_mtime_ns))
+    try:
+        if _os.path.isdir(path):
+            for root, _, files in _os.walk(path):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = _os.stat(_os.path.join(root, f))
+                    entries.append((_os.path.relpath(_os.path.join(root, f), path),
+                                    st.st_size, st.st_mtime_ns))
+        else:
+            st = _os.stat(path)
+            entries.append((path, st.st_size, st.st_mtime_ns))
+    except OSError:
+        return ("unversioned",)
     return tuple(sorted(entries))
 
 

@@ -86,11 +86,6 @@ def main() -> int:
             s["swrite"] = s.get("swrite", 0) + sw.get("Shuffle Bytes Written", 0)
             s["fetchwait"] = s.get("fetchwait", 0) + sr.get("Fetch Wait Time", 0)
             s["maxrun"] = max(s.get("maxrun", 0), m.get("Executor Run Time", 0))
-            pyf = {
-                a["Name"]: int(a["Update"])
-                for a in ev.get("Task Executor Metrics", {}).items()
-            } if False else {}
-            _ = pyf
 
     print(
         f"{'id':>4} {'wall_s':>7} {'tasks':>5} {'run_s':>8} {'cpu_s':>8} "
