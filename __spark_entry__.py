@@ -1114,6 +1114,25 @@ def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions that ALSO close after 3 events — the batch twin of the
+    applyInPandasWithState custom stateful sessionizer
+    (mel_spark/streaming/events.py sessionize_capped_stream; the streaming
+    form is equivalence-tested against this in tests/test_streaming.py).
+    Session bounds emitted as exact epoch-µs longs (engine-neutral)."""
+    from mel_spark.streaming.events import sessionize_capped_batch
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_capped_batch(ev, gap_seconds=1800, max_events=3)
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1174,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_survivors": q_er_survivors,
         "ev_tumbling_counts": q_ev_tumbling_counts,
         "ev_sessionize": q_ev_sessionize,
+        "ev_capped_sessions": q_ev_capped_sessions,
     }
 
 
@@ -1605,5 +1625,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*)::BIGINT AS n_sessions, max(n_events) AS max_session_events
             FROM per_session GROUP BY user_id
+        """,
+        "ev_capped_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, value, ts, epoch_us(ts) AS us FROM events
+            ), g AS (
+              SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+              FROM g
+            ), c AS (
+              SELECT *, ((row_number() OVER (PARTITION BY user_id, gid
+                           ORDER BY ts, event_id) - 1) // 3) AS sub
+              FROM s
+            )
+            SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM c GROUP BY user_id, gid, sub
         """,
     }

@@ -466,3 +466,122 @@ def test_streaming_fold_maintains_bucketed_index(spark, tmp_path):
         assert ensure_bucketed_index(spark, tbl, head2, n_buckets=4, path=loc) is False
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState custom stateful sessionizer (gap + event-count cap)
+# ---------------------------------------------------------------------------
+
+def _sentinels(spark, events_batch):
+    """One far-future event per user: its arrival closes every user's final
+    real session through the normal gap rule (no reliance on a trailing
+    no-data micro-batch firing timeouts for finite test streams)."""
+    mx = events_batch.agg(F.max("ts").alias("m")).first()["m"]
+    users = events_batch.select("user_id").distinct()
+    return users.select(
+        (F.lit(10**9) + F.col("user_id")).alias("event_id"),
+        F.lit(mx + __import__("datetime").timedelta(days=10)).alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+def _capped_rows(df, max_real_ts):
+    rows = df.filter(F.col("session_start") <= F.lit(max_real_ts)).collect()
+    return sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 4))
+        for r in rows
+    )
+
+
+def _run_capped(spark, parts, tmpdir, gap_seconds=1800, max_events=3):
+    """Write each part as one parquet file (append), stream with
+    maxFilesPerTrigger=1 so each part is its own micro-batch (state must
+    carry across batches), availableNow to completion."""
+    import time
+
+    from mel_spark.streaming.events import sessionize_capped_stream
+
+    src = f"{tmpdir}/capped_src"
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+    stream = (
+        spark.readStream.schema(parts[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_capped_stream(
+        stream, gap_seconds=gap_seconds, max_events=max_events
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("capped_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/capped_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("capped_sink")
+
+
+def test_capped_sessions_stream_converges_to_batch(spark, events_batch, tmp_path):
+    from mel_spark.streaming.events import sessionize_capped_batch
+
+    mx = events_batch.agg(F.max("ts").alias("m")).first()["m"]
+    got = _run_capped(
+        spark,
+        [events_batch.unionByName(_sentinels(spark, events_batch))],
+        str(tmp_path),
+    )
+    expected = sessionize_capped_batch(events_batch, 1800, 3)
+    assert _capped_rows(got, mx) == _capped_rows(expected, mx)
+
+
+def test_capped_sessions_state_carries_across_batches(spark, events_batch, tmp_path):
+    """Split the events at the median ts into two micro-batches: open sessions
+    (start, running count toward the cap, running sum) must carry in state and
+    close identically to the single-pass batch twin."""
+    from mel_spark.streaming.events import sessionize_capped_batch
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = events_batch.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    mx = events_batch.agg(F.max("ts").alias("m")).first()["m"]
+    first = events_batch.filter(us <= F.lit(int(mid)))
+    second = events_batch.filter(us > F.lit(int(mid)))
+    assert first.count() > 0 and second.count() > 0
+    got = _run_capped(
+        spark,
+        [first, second, _sentinels(spark, events_batch)],
+        str(tmp_path),
+    )
+    expected = sessionize_capped_batch(events_batch, 1800, 3)
+    assert _capped_rows(got, mx) == _capped_rows(expected, mx)
+
+
+def test_capped_sessions_event_time_timeout_flushes_idle_user(spark, tmp_path):
+    """The hasTimedOut branch: user A's open session must be EMITTED once
+    another user's much-later event advances the watermark past A's gap
+    horizon — no further data for A required (this is how open sessions drain
+    on a real unbounded stream)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows_a = [(1, t0, 7, "e", 1.5, "{}"), (2, t0 + dt.timedelta(seconds=60), 7, "e", 2.5, "{}")]
+    rows_b = [(3, t0 + dt.timedelta(days=30), 8, "e", 0.0, "{}")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch_a = spark.createDataFrame(rows_a, cols)
+    batch_b = spark.createDataFrame(rows_b, cols)
+    got = _run_capped(spark, [batch_a, batch_b], str(tmp_path)).collect()
+    by_user = {r["user_id"]: r for r in got}
+    assert 7 in by_user, f"user 7's idle session was never flushed: {got}"
+    a = by_user[7]
+    assert a["n_events"] == 2
+    assert abs(a["sum_value"] - 4.0) < 1e-9
+    assert a["session_start"] == t0
+    assert a["session_end"] == t0 + dt.timedelta(seconds=60)
+    assert 8 not in by_user  # user 8's session is still open (no later data)
