@@ -35,6 +35,8 @@ AUDIT = [
     "token_matrix",
     "ld_segment_dedup",
     "ta_gopher_rules",
+    "knn_ivf_index",
+    "ev_capped_sessions",
 ]
 
 
