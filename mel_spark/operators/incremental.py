@@ -300,8 +300,14 @@ def probe_keys(
     else:
         hits = _join(delta_side, base_side)
     hits = hits.filter(F.col("_new") != F.col("_old"))
+    # dense_rank, not row_number: identical whenever the base key stream is
+    # duplicate-free (the normal case — ranks tie only on equal _old), but a
+    # DUPLICATED base row — the bucketed table's documented crash window
+    # (append committed, fold marker lost → replay re-appends) — then counts
+    # ONCE toward the cap instead of consuming an extra slot and silently
+    # evicting a real candidate
     w = Window.partitionBy("_new", "block_key").orderBy("_old")
-    hits = hits.withColumn("_rn", F.row_number().over(w)).filter(
+    hits = hits.withColumn("_rn", F.dense_rank().over(w)).filter(
         F.col("_rn") <= max_candidates_per_key
     )
     return (

@@ -21,8 +21,8 @@ every fold's delta — identical content to ``read_stage_chain(...,
 'block_index')``, pre-bucketed. Appends must be fenced by the fold's
 checkpoint markers (append once, after the fold's ``block_index_delta`` stage
 is green) — a replayed fold that re-appended would duplicate base rows, which
-keeps pair output correct (pairs are distinct-aggregated) but double-counts
-toward the per-(member, key) probe cap.
+is OUTPUT-NEUTRAL: pairs are distinct-aggregated and the probe cap is a
+dense_rank (a duplicated member counts once), so the only cost is storage.
 
 The catalog entry is session-scoped under Spark's default in-memory catalog;
 production deployments back it with a real metastore (Hive/Glue/Unity) so the
@@ -155,9 +155,9 @@ def fold_appended(fold_ckpt_dir: str, table: str) -> bool:
 def record_fold_appended(fold_ckpt_dir: str, table: str) -> None:
     """Drop the append marker in the fold's checkpoint dir. Written AFTER the
     append commits: a crash between append and marker re-appends on replay —
-    duplicate index rows keep pair output correct (pairs distinct-aggregate)
-    but double-count toward the probe cap, the failure mode the module
-    docstring concedes; a crash before the append just retries cleanly."""
+    duplicate index rows are output-neutral (pairs distinct-aggregate; the
+    probe cap is a dense_rank, so a duplicated member counts once) and cost
+    only storage; a crash before the append just retries cleanly."""
     p = os.path.join(fold_ckpt_dir, _marker_file(table))
     tmp = p + ".tmp"
     with open(tmp, "w") as f:

@@ -206,6 +206,34 @@ def test_probe_keys_salting_consistent(spark):
     assert any(a != 500 and b == 500 or a == 500 for a, b in salted - {(1000, 2000), (1001, 2000)})
 
 
+def test_probe_keys_duplicate_base_rows_are_output_neutral(spark):
+    """The bucketed table's documented crash window (append committed, fold
+    marker lost → replay re-appends) duplicates base index rows. The probe
+    must emit IDENTICAL pairs over the duplicated stream — even when the
+    per-(new, key) cap binds — because the cap is a dense_rank: a duplicated
+    old member ties with itself instead of consuming a second slot and
+    evicting a real candidate."""
+    from mel_spark.operators.incremental import probe_keys
+
+    base = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, 100), (2, 101)],
+        ["block_key", "mention_id"],
+    )
+    delta = spark.createDataFrame([(1, 500), (2, 600)], ["block_key", "mention_id"])
+
+    def pairs(b, cap):
+        return {
+            (r["mention_id_a"], r["mention_id_b"])
+            for r in probe_keys(delta, b, max_candidates_per_key=cap).collect()
+        }
+
+    dup = base.unionByName(base)  # every base row delivered twice
+    for cap in (3, 64):  # binding and non-binding cap
+        assert pairs(dup, cap) == pairs(base, cap)
+    # the binding cap keeps the 3 min-ordered old members of block 1
+    assert pairs(base, 3) == {(0, 500), (1, 500), (2, 500), (100, 600), (101, 600)}
+
+
 def test_fold_into_pre_block_index_base(spark, tmp_path):
     """A base checkpoint produced before the durable block_index stage existed
     (ingest/embed/clusters only) must still fold correctly: the probe keys
