@@ -153,11 +153,26 @@ def connected_components(
                     "connected_components: resuming from round %d", state["iteration"]
                 )
     if start_iter == 0:
-        edges = edges.localCheckpoint(eager=True)
-    def _write_durable(it: int, edges: DataFrame) -> DataFrame:
+        # lazy: the plan is truncated NOW (LogicalRDD), the data persists
+        # during round 1's fingerprint job — no standalone materialization job
+        edges = edges.localCheckpoint(eager=False)
+
+    def _write_durable(it: int, edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        # the write job doubles as the fingerprint pass: an Observation on the
+        # written plan yields (count, xor-hash) from the same task set, so a
+        # durable round costs ONE job + parquet IO, not write + re-read + agg
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        )
         path = _os.path.join(checkpoint_dir, f"iter{it}")
-        edges.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        observed.write.mode("overwrite").parquet(path)
+        m = obs.get
+        return spark.read.parquet(path), (int(m["n"]), int(m["h"]))
 
     def _write_state(it: int, fp: tuple[int, int], converged: bool) -> None:
         tmp = state_path + ".tmp"
@@ -179,16 +194,21 @@ def connected_components(
         edges = _small_star(_large_star(edges))
         durable = bool(checkpoint_dir) and (it + 1) % max(durable_every, 1) == 0
         if durable:
-            edges = _write_durable(it, edges)
+            edges, fp = _write_durable(it, edges)
         else:
-            edges = edges.localCheckpoint(eager=True)
-        fp = _fingerprint(edges)
+            # ONE job per star round: the lazy local checkpoint persists its
+            # partitions while the fingerprint aggregation scans them (the
+            # eager + separate-fingerprint form paid two jobs per round — a
+            # fixed floor the 4×-parallel leg cannot amortize)
+            edges = edges.localCheckpoint(eager=False)
+            fp = _fingerprint(edges)
         converged = fp == prev_fp
         if checkpoint_dir:
             if converged and not durable:
                 # the final edge set must be durable for crash-after-
-                # convergence resume, whatever the cadence
-                edges = _write_durable(it, edges)
+                # convergence resume, whatever the cadence (edges are already
+                # persisted, so this re-writes cached partitions, no recompute)
+                edges, fp = _write_durable(it, edges)
                 durable = True
             if durable:
                 _write_state(it, fp, converged)
