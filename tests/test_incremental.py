@@ -571,3 +571,55 @@ def test_fold_sort_merge_relabel_equals_broadcast(spark, tmp_path):
         broadcast_touched=False,
     )
     _assert_same_clusters(inc_sm["clusters"], full["clusters"])
+
+
+def test_fold_crash_resume_skips_green_delta_stages(spark, tmp_path):
+    """A fold killed between delta stages resumes from its last green stage:
+    re-invoking incremental_update with the same fold dir after the later
+    stage checkpoints are lost (a) does NOT recompute the green ingest/embed
+    deltas (their parquet is untouched on disk) and (b) emits byte-identical
+    clusters to the uninterrupted fold."""
+    import os
+    import shutil
+
+    tables = generate_repos(GenConfig(n_files=400, seed=11))
+    repos = spark.createDataFrame(tables["repos"])
+    in_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10)) < 7
+    batch_a, batch_b = repos.filter(in_a), repos.filter(~in_a)
+    run_pipeline(spark, batch_a, str(tmp_path / "base"))
+
+    fold_dir = tmp_path / "inc"
+    done = incremental_update(
+        spark, str(tmp_path / "base"), batch_b, checkpoint_dir=str(fold_dir)
+    )
+    want = done["clusters"].select("mention_id", "cluster_id").collect()
+
+    def _stage_mtimes(stage):
+        d = fold_dir / stage
+        return sorted(
+            (f, os.path.getmtime(os.path.join(r, f)))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    before = {s: _stage_mtimes(s) for s in ("ingest_delta", "embed_delta")}
+
+    # crash window: pairs_delta onward never committed; the parent pointer
+    # (written after clusters_delta) is lost with them
+    for stale in ("pairs_delta", "clusters_delta", "cc_rounds", "_PARENT.json"):
+        p = fold_dir / stale
+        if p.is_dir():
+            shutil.rmtree(p)
+        elif p.exists():
+            p.unlink()
+    for stale in ("pairs_delta", "clusters_delta"):
+        marker = fold_dir / f"{stale}._MARKER.json"
+        if marker.exists():
+            marker.unlink()
+
+    redone = incremental_update(
+        spark, str(tmp_path / "base"), batch_b, checkpoint_dir=str(fold_dir)
+    )
+    got = redone["clusters"].select("mention_id", "cluster_id").collect()
+    assert sorted(got) == sorted(want)
+    after = {s: _stage_mtimes(s) for s in ("ingest_delta", "embed_delta")}
+    assert after == before, "green delta stages must resume, not recompute"
