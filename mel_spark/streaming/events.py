@@ -87,6 +87,79 @@ def sessionize_capped_batch(
     )
 
 
+def _capped_session_fold(
+    ts: "np.ndarray",
+    val: "np.ndarray",
+    carried: tuple | None,
+    gap_us: int,
+    cap: int,
+) -> tuple[list[tuple[int, int, int, float]], tuple[int, int, int, float]]:
+    """One micro-batch step of the capped sessionizer over ONE user's
+    time-ordered events: ``ts`` epoch-µs int64 (nondecreasing), ``val``
+    float64, ``carried`` = the open session from state as
+    (start_us, last_us, n_events, sum_value) or None.
+
+    Returns (closed, open): the sessions this batch CLOSES (in order —
+    including the carried one when the batch's first event opens a new
+    session by gap or cap) and the still-open last session.
+
+    Module-level (not a closure) so the fold law the streaming operator
+    relies on — folding any split of a stream batch-by-batch yields exactly
+    the single-pass :func:`sessionize_capped_batch` sessions — is
+    property-testable without a SparkSession
+    (tests/test_sessionize_kernel.py, hypothesis-driven).
+
+    Fully vectorized: gap boundaries via diff, cap chunking via per-segment
+    cumcount (the carried event count offsets the leading continuation run,
+    so the cap keeps counting across micro-batches), per-session aggregates
+    via bincount."""
+    import numpy as np
+
+    m = len(ts)
+    # gap boundaries: first row continues the open session iff within gap
+    new_seg = np.empty(m, dtype=bool)
+    new_seg[0] = carried is None or (ts[0] - carried[1]) > gap_us
+    if m > 1:
+        new_seg[1:] = np.diff(ts) > gap_us
+    # position within each gap segment (leading continuation rows get the
+    # carried event count as offset so the cap keeps counting across
+    # micro-batches)
+    idx = np.arange(m, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(new_seg, idx, -1))
+    pos = idx - np.maximum(seg_start, 0)
+    if carried is not None and not new_seg[0]:
+        pos = pos + np.where(seg_start < 0, np.int64(carried[2]), 0)
+    # composite session id: (gap segment, cap chunk) — nondecreasing
+    sess_key = (np.cumsum(new_seg).astype(np.int64) << 32) + pos // cap
+    b = np.empty(m, dtype=bool)
+    b[0] = True
+    if m > 1:
+        b[1:] = sess_key[1:] != sess_key[:-1]
+    sid = np.cumsum(b) - 1
+    n_sess = int(sid[-1]) + 1
+    cnt = np.bincount(sid, minlength=n_sess).astype(np.int64)
+    sums = np.bincount(sid, weights=val, minlength=n_sess)
+    starts = ts[b].copy()
+    ends = ts[np.concatenate([np.flatnonzero(b)[1:] - 1, [m - 1]])]
+    if carried is not None and not new_seg[0] and pos[0] // cap == 0:
+        # session 0 continues the carried open session
+        starts[0] = carried[0]
+        cnt[0] += carried[2]
+        sums[0] += carried[3]
+        closed_carry: list[tuple[int, int, int, float]] = []
+    elif carried is not None:
+        # the carried session closed at the batch boundary (gap or cap)
+        closed_carry = [tuple(carried)]
+    else:
+        closed_carry = []
+    open_sess = (int(starts[-1]), int(ends[-1]), int(cnt[-1]), float(sums[-1]))
+    closed = closed_carry + [
+        (int(starts[i]), int(ends[i]), int(cnt[i]), float(sums[i]))
+        for i in range(n_sess - 1)
+    ]
+    return closed, open_sess
+
+
 def sessionize_capped_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -163,45 +236,8 @@ def sessionize_capped_stream(
             rows["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         )[order]
         val = rows["value"].to_numpy(dtype=np.float64)[order]
-        m = len(ts)
         carried = state.get if state.exists else None
-        # gap boundaries: first row continues the open session iff within gap
-        new_seg = np.empty(m, dtype=bool)
-        new_seg[0] = carried is None or (ts[0] - carried[1]) > gap_us
-        if m > 1:
-            new_seg[1:] = np.diff(ts) > gap_us
-        # position within each gap segment (leading continuation rows get the
-        # carried event count as offset so the cap keeps counting across
-        # micro-batches)
-        idx = np.arange(m, dtype=np.int64)
-        seg_start = np.maximum.accumulate(np.where(new_seg, idx, -1))
-        pos = idx - np.maximum(seg_start, 0)
-        if carried is not None and not new_seg[0]:
-            pos = pos + np.where(seg_start < 0, np.int64(carried[2]), 0)
-        # composite session id: (gap segment, cap chunk) — nondecreasing
-        sess_key = (np.cumsum(new_seg).astype(np.int64) << 32) + pos // cap
-        b = np.empty(m, dtype=bool)
-        b[0] = True
-        if m > 1:
-            b[1:] = sess_key[1:] != sess_key[:-1]
-        sid = np.cumsum(b) - 1
-        n_sess = int(sid[-1]) + 1
-        cnt = np.bincount(sid, minlength=n_sess).astype(np.int64)
-        sums = np.bincount(sid, weights=val, minlength=n_sess)
-        starts = ts[b]
-        ends = ts[np.concatenate([np.flatnonzero(b)[1:] - 1, [m - 1]])]
-        if carried is not None and not new_seg[0] and pos[0] // cap == 0:
-            # session 0 continues the carried open session
-            starts[0] = carried[0]
-            cnt[0] += carried[2]
-            sums[0] += carried[3]
-            closed_carry: list[tuple[int, int, int, float]] = []
-        elif carried is not None:
-            # the carried session closed at the batch boundary (gap or cap)
-            closed_carry = [tuple(carried)]
-        else:
-            closed_carry = []
-        open_sess = (int(starts[-1]), int(ends[-1]), int(cnt[-1]), float(sums[-1]))
+        closed, open_sess = _capped_session_fold(ts, val, carried, gap_us, cap)
         state.update(open_sess)
         # event-time timeout: flush the open session once the watermark
         # passes its gap horizon (clamped above the current watermark, which
@@ -209,10 +245,6 @@ def sessionize_capped_stream(
         state.setTimeoutTimestamp(
             max((open_sess[1] + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
         )
-        closed = closed_carry + [
-            (int(starts[i]), int(ends[i]), int(cnt[i]), float(sums[i]))
-            for i in range(n_sess - 1)
-        ]
         if closed:
             yield _emit(uid, closed)
 
