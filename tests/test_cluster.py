@@ -200,3 +200,45 @@ def test_stale_state_discarded_on_fingerprint_mismatch(spark, tmp_path):
         for r in connected_components(e2, checkpoint_dir=ckpt, input_fingerprint="fp2").collect()
     }
     assert got2 == {"y": "x", "z": "x", "x": "x"}, got2
+
+
+def test_random_graphs_match_union_find_oracle(spark):
+    """Breadth check: random Erdős–Rényi-ish edge sets at several densities
+    vs a pure-Python union-find with min-label semantics (cluster_id = min
+    member id). The structural cases above pin known shapes; this pins the
+    algorithm on graphs nobody hand-picked (seeded — deterministic)."""
+    import numpy as np
+
+    def union_find_labels(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # relabel every component to its min member
+        comp: dict[str, str] = {}
+        for n in nodes:
+            r = find(n)
+            comp[r] = min(comp.get(r, n), n)
+        return {n: comp[find(n)] for n in nodes}
+
+    rng = np.random.default_rng(20260820)
+    for n_nodes, n_edges in [(30, 15), (60, 60), (50, 120), (200, 80)]:
+        a = rng.integers(0, n_nodes, size=n_edges)
+        b = rng.integers(0, n_nodes, size=n_edges)
+        edges = [
+            (f"v{u:03d}", f"v{v:03d}") for u, v in zip(a.tolist(), b.tolist()) if u != v
+        ]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        expected = union_find_labels(edges, nodes)
+        got = _cc(spark, edges)
+        assert got == expected, f"mismatch at ({n_nodes},{n_edges})"
