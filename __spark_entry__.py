@@ -571,6 +571,38 @@ def q_knn_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOLD-MAINTAINED persisted index (r5): build over the base corpus
+    (vec_id % 5 != 0), APPEND the held-out fifth as a new epoch under the
+    frozen centroids (ann_index.append_to_ivf_index), probe everything.
+    The DuckDB oracle fits its quantizer on the same base subset and
+    assigns ALL rows with those centroids — hash-equality proves the
+    appended epoch is byte-equivalent to re-encoding the grown corpus,
+    i.e. a served index can follow the incremental pipeline between
+    rebuilds (reference rebuilds per run: src/data_processors/index/index.py:33-62)."""
+    import tempfile
+
+    from mel_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    d = tempfile.mkdtemp(prefix="mel_ivf_append_")
+    build_ivf_index(
+        base, d, n_cells=IVF_CELLS, iterations=IVF_ITERS, seed=42,
+        fit="relational", emb_format="f32",
+    )
+    append_to_ivf_index(batch, d)
+    return ivf_index_topk(
+        spark, emb.filter(F.col("vec_id") < KNN_MAX_QID), d,
+        k=KNN_K, nprobe=IVF_NPROBE,
+    )
+
+
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (exact float min/max — no fp-order ambiguity)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -948,17 +980,28 @@ def _ivf_sql(
     max_qid: int = KNN_MAX_QID,
     quantized: bool = False,
     reorder: int = IVF_REORDER,
+    fit_where: str = "",
 ) -> str:
     """DuckDB twin of similarity.ivf_topk_relational: md5-seeded medoid init,
     ``iterations`` unrolled Lloyd rounds with DECIMAL-exact per-position
     centroid sums (order-independent ⇒ bit-identical to Spark's decimal
     aggregation), cosine assignment with (cos DESC, cell ASC) ties, nprobe
-    probing, optional int8 asymmetric first pass + reorder, exact re-score."""
-    h = f"('0x' || substr(md5(vec_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT"
+    probing, optional int8 asymmetric first pass + reorder, exact re-score.
+
+    ``fit_where`` restricts the QUANTIZER FIT (init medoids + Lloyd members)
+    to a subset while assignment/probing still cover every row — the oracle
+    of the fold-maintained index (ann_index.append_to_ivf_index): build over
+    the base, append the rest under frozen centroids."""
     ctes = [
+        f"""fitset AS (
+          SELECT * FROM embeddings {fit_where}
+        )""",
         f"""init AS (
-          SELECT vec_id, embedding, row_number() OVER (ORDER BY {h}, vec_id) AS rn
-          FROM embeddings
+          SELECT vec_id, embedding,
+                 row_number() OVER (
+                   ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT,
+                            vec_id) AS rn
+          FROM fitset
         )""",
         f"""cents0 AS (
           SELECT (rn - 1)::INT AS cell, list_transform(embedding, x -> x::DOUBLE) AS cent
@@ -973,7 +1016,7 @@ def _ivf_sql(
                 SELECT vec_id, cell,
                        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
                 FROM (SELECT e.vec_id, c.cell, {O.cosine('e.embedding', 'c.cent')} AS cos
-                      FROM embeddings e, {prev} c))
+                      FROM fitset e, {prev} c))
               WHERE rn = 1
             )"""
         )
@@ -1157,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_pq": q_knn_ivf_pq,
         "knn_ivf_index": q_knn_ivf_index,
+        "knn_ivf_append": q_knn_ivf_append,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "knn_recall_at_k": q_knn_recall_at_k,
@@ -1311,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _ivf_sql(),
         "knn_ivf_pq": _ivf_sql(quantized=True),
         "knn_ivf_index": _ivf_sql(),
+        "knn_ivf_append": _ivf_sql(fit_where="WHERE vec_id % 5 != 0"),
         "emb_near_dup_lsh": f"""
             WITH blocks AS (
               SELECT vec_id AS doc_id,

@@ -74,7 +74,13 @@ from mel_spark.operators.similarity import (
 _META = "_META.json"
 _LISTS = "lists"
 _CENTROIDS = "centroids"
-META_VERSION = 1
+# v2: lists are partitioned (cell, epoch) and _META carries the committed
+# epoch list + per-epoch row counts, so incremental folds can APPEND new
+# vectors (frozen-centroid assignment) without rewriting the index — the
+# same epoch-fence idea as the bucketed block-index sidecar (bucketed.py):
+# an epoch becomes visible only when the atomic _META rewrite commits it,
+# so a crashed append is invisible to probes and cleaned up on retry.
+META_VERSION = 2
 
 
 def _meta_path(path: str) -> str:
@@ -175,22 +181,42 @@ def build_ivf_index(
         "id", "_emb", F.col("cell").cast("int").alias("cell")
     )
 
-    emb_field = (
-        StructField("emb", BinaryType())
-        if emb_format == "f16"
-        else StructField("emb", ArrayType(FloatType()))
-    )
-    out_schema = StructType(
-        [
-            StructField("id", LongType()),
-            emb_field,
-            StructField("code", BinaryType()),
-            StructField("cell", IntegerType()),
-        ]
-    )
-    pack_f16 = emb_format == "f16"
+    # rebuild-over-existing: invalidate FIRST (a crash mid-build must read
+    # as "not built"), then clear old lists — epoch files are written with
+    # mode("append"), so stale directories would otherwise survive
+    import shutil
 
-    def _encode_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    lists_path = os.path.join(path, _LISTS)
+    if os.path.exists(_meta_path(path)):
+        os.remove(_meta_path(path))
+    shutil.rmtree(lists_path, ignore_errors=True)
+
+    n_rows = _write_list_epoch(rows, lists_path, emb_format, epoch=0)
+    cents_df.write.mode("overwrite").parquet(os.path.join(path, _CENTROIDS))
+    meta = {
+        "version": META_VERSION,
+        "n_cells": n_cells,
+        "dim": dim,
+        "rows": n_rows,
+        "epochs": [0],
+        "epoch_rows": {"0": n_rows},
+        "needs_refit": False,
+        "seed": seed,
+        "iterations": iterations,
+        "fit": fit,
+        "emb_format": emb_format,
+        "max_per_key": max_per_key,
+        "key_col": key_col,
+    }
+    _commit_meta(path, meta)
+    return meta
+
+
+def _encode_lists_fn(pack_f16: bool):
+    """mapInPandas kernel: (id, _emb, cell) → encoded list rows (fp16/f32
+    payload + int8 code).  Module-level factory shared by build and append."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -209,35 +235,174 @@ def build_ivf_index(
                 }
             )
 
-    lists_path = os.path.join(path, _LISTS)
-    # one shuffle keyed on cell co-locates each inverted list; partitionBy
-    # writes it as its own hive directory (the "list")
-    (
-        rows.repartition(F.col("cell"))
-        .mapInPandas(_encode_lists, out_schema)
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(lists_path)
+    return _encode
+
+
+def _write_list_epoch(
+    rows: DataFrame, lists_path: str, emb_format: str, epoch: int
+) -> int:
+    """Encode + write one epoch of inverted lists under
+    ``lists/cell=<c>/epoch=<e>/`` and return the row count written.
+
+    One shuffle keyed on cell co-locates each inverted list; partitionBy
+    writes it as its own hive directory (the "list").  ``mode("append")``
+    never touches other epochs' files; visibility is controlled by the
+    _META epoch list, not by the write."""
+    emb_field = (
+        StructField("emb", BinaryType())
+        if emb_format == "f16"
+        else StructField("emb", ArrayType(FloatType()))
     )
-    cents_df.write.mode("overwrite").parquet(os.path.join(path, _CENTROIDS))
-    n_rows = spark.read.parquet(lists_path).count()
-    meta = {
-        "version": META_VERSION,
-        "n_cells": n_cells,
-        "dim": dim,
-        "rows": n_rows,
-        "seed": seed,
-        "iterations": iterations,
-        "fit": fit,
-        "emb_format": emb_format,
-        "max_per_key": max_per_key,
-        "key_col": key_col,
-    }
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            emb_field,
+            StructField("code", BinaryType()),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    encoded = (
+        rows.repartition(F.col("cell"))
+        .mapInPandas(_encode_lists_fn(emb_format == "f16"), out_schema)
+        .withColumn("epoch", F.lit(epoch))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    encoded.write.partitionBy("cell", "epoch").mode("append").parquet(lists_path)
+    return int(obs.get["n"])
+
+
+def _commit_meta(path: str, meta: dict) -> None:
     tmp = _meta_path(path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, _meta_path(path))  # commit marker: written LAST
+
+
+def _clean_uncommitted_epochs(lists_path: str, committed: list) -> None:
+    """Remove epoch directories no committed _META references — the leftovers
+    of a crashed append.  Run before every append so a retry never doubles
+    rows inside its epoch."""
+    import shutil
+
+    keep = {f"epoch={e}" for e in committed}
+    if not os.path.isdir(lists_path):
+        return
+    for cell_dir in os.listdir(lists_path):
+        cd = os.path.join(lists_path, cell_dir)
+        if not (cell_dir.startswith("cell=") and os.path.isdir(cd)):
+            continue
+        for epoch_dir in os.listdir(cd):
+            if epoch_dir.startswith("epoch=") and epoch_dir not in keep:
+                shutil.rmtree(os.path.join(cd, epoch_dir), ignore_errors=True)
+
+
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+    refit_threshold: float = 0.5,
+) -> dict:
+    """Fold-maintained index (VERDICT r4 next #2): append a batch's NEW
+    vectors to the persisted lists using the FROZEN stored centroids, so a
+    served ANN index follows the incremental pipeline instead of
+    staleness-drifting until a full rebuild.
+
+    Cell assignment is the same pure function the build used (given the
+    stored centroid matrix), in the same ``fit`` mode, so an appended index
+    is byte-equivalent to "re-encode everything with these centroids" —
+    probes see exactly the brute-force-over-probed-cells answer for the
+    grown corpus (tests/test_ann_index.py parity test).
+
+    Durability mirrors the bucketed block-index fence: the epoch's files
+    land under ``cell=<c>/epoch=<e>/`` invisible to probes, then ONE atomic
+    _META rewrite commits the epoch; a crash before commit leaves the index
+    serving its old contents and the next append sweeps the orphan files.
+
+    Drift: _META tracks per-epoch row counts; once appended rows exceed
+    ``refit_threshold`` of the index, ``needs_refit`` flips (the quantizer
+    was fitted on a minority of the data — rebuild with build_ivf_index).
+    Per-cell drift detail via :func:`ivf_cell_drift`.  The reference
+    precedent is the build→serve split rebuilt per run
+    (src/data_processors/index/index.py:33-62); this keeps serve fresh
+    between rebuilds.
+
+    Cap-built indexes (``max_per_key``) are rebuild-only: enforcing the cap
+    across old+new keys would need the key column persisted per row.
+    """
+    meta = read_index_meta(path)
+    if meta.get("max_per_key") is not None:
+        raise ValueError(
+            "append_to_ivf_index: index was built with max_per_key — the "
+            "load-cap cannot be enforced incrementally; rebuild instead"
+        )
+    spark = new_vecs.sparkSession
+    new_vecs = V.ensure_emb_array(new_vecs, i_emb)
+    src = new_vecs.select(
+        F.col(i_id).cast("long").alias("id"), F.col(i_emb).alias("_emb")
+    )
+    dim_row = src.select(F.size("_emb").alias("d")).first()
+    if dim_row is None:
+        return meta  # empty batch: nothing to commit
+    if int(dim_row["d"]) != meta["dim"]:
+        raise ValueError(
+            f"append dim {dim_row['d']} != index dim {meta['dim']} at {path!r}"
+        )
+
+    lists_path = os.path.join(path, _LISTS)
+    _clean_uncommitted_epochs(lists_path, meta["epochs"])
+
+    cents_df = spark.read.parquet(os.path.join(path, _CENTROIDS))
+    if meta["fit"] == "relational":
+        assigned = _ivf_assign_relational(
+            src.select(F.col("id").alias("_id"), "_emb"), cents_df, "id"
+        )
+    else:
+        c_rows = cents_df.orderBy("cell").collect()  # ≤ n_cells: O(√N)
+        C = np.array([r["cent"] for r in c_rows], dtype=np.float64)
+        # train_ivf_centroids returns L2-normalized float32 — reproduce the
+        # exact dtype the build's _assign_cells saw
+        assigned = _assign_cells(
+            src.select(F.col("id").alias("_id"), "_emb"), C.astype(np.float32), spark
+        ).select(F.col("_id").alias("id"), F.col("_cell").alias("cell"))
+
+    rows = src.join(assigned, "id").select(
+        "id", "_emb", F.col("cell").cast("int").alias("cell")
+    )
+    epoch = max(meta["epochs"]) + 1
+    n_new = _write_list_epoch(rows, lists_path, meta["emb_format"], epoch)
+
+    meta["epochs"] = meta["epochs"] + [epoch]
+    meta["epoch_rows"][str(epoch)] = n_new
+    meta["rows"] = meta["rows"] + n_new
+    appended = sum(
+        n for e, n in meta["epoch_rows"].items() if e != "0"
+    )
+    meta["needs_refit"] = bool(appended > refit_threshold * meta["rows"])
+    _commit_meta(path, meta)
     return meta
+
+
+def ivf_cell_drift(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, total, appended, drift_frac): how much of each inverted list
+    arrived after the quantizer was fitted.  A metadata-cheap count over the
+    committed epochs — row-group stats serve the counts, no payload read."""
+    meta = read_index_meta(path)
+    lists = spark.read.parquet(os.path.join(path, _LISTS)).filter(
+        F.col("epoch").cast("int").isin([int(e) for e in meta["epochs"]])
+    )
+    per = lists.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(F.col("epoch").cast("int") != 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("appended"),
+    )
+    return per.withColumn(
+        "drift_frac", F.round(F.col("appended") / F.col("total"), 6)
+    )
 
 
 def ivf_index_topk(
@@ -352,9 +517,13 @@ def ivf_index_topk(
         return spark.createDataFrame(
             [], schema="query_id long, neighbor_id long, cos double, rank int"
         )
+    # both filters resolve as STATIC PARTITION FILTERS: only the probed
+    # cells' COMMITTED epoch directories are listed or read (a crashed
+    # append's orphan epoch is invisible here)
     lists = (
         spark.read.parquet(os.path.join(path, _LISTS))
         .filter(F.col("cell").isin(probed))
+        .filter(F.col("epoch").cast("int").isin([int(e) for e in meta["epochs"]]))
         .withColumn("cell", F.col("cell").cast("int"))
     )
 

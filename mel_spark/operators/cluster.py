@@ -30,11 +30,22 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.select(
+def _fp_exprs() -> list:
+    """The edge-set fingerprint metric expressions — the SINGLE definition.
+
+    Convergence detection compares fingerprints computed two ways (a
+    standalone aggregation in :func:`_fingerprint`, and an ``Observation``
+    folded into durable writes): the two must stay bit-identical, so both
+    consume this helper.  Built per call because Column objects are bound
+    to a plan once used."""
+    return [
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-    ).first()
+    ]
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(*_fp_exprs()).first()
     return int(row["n"]), int(row["h"])
 
 
@@ -164,11 +175,7 @@ def connected_components(
         from pyspark.sql import Observation
 
         obs = Observation()
-        observed = edges.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        )
+        observed = edges.observe(obs, *_fp_exprs())
         path = _os.path.join(checkpoint_dir, f"iter{it}")
         observed.write.mode("overwrite").parquet(path)
         m = obs.get

@@ -19,6 +19,81 @@ from mel_spark.functions import text as T
 from mel_spark.functions import vectors as V
 
 
+def _fused_round6(x):
+    """HALF_UP 6dp like F.round / DuckDB round (np.round is banker's)."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
+
+
+def _fused_packed_keys(arr):
+    """list<int> Arrow array → (lengths, row_idx, (row_idx<<31)|value),
+    all from the flat values buffer — zero per-row Python objects."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    la = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    ridx = np.repeat(np.arange(len(arr), dtype=np.int64), la)
+    return la, ridx, (ridx << np.int64(31)) | flat
+
+
+def _fused_score_batch(rb, w_cos: float, w_jaccard: float):
+    """The fused cos ⊕ jaccard kernel over ONE joined Arrow RecordBatch
+    (columns mention_id_a/b, block_key, _emb_a/_emb_b, _xs_a/_xs_b) →
+    output RecordBatch, or None for an empty batch.
+
+    Module-level (not a closure) so its math is property-testable against
+    the Catalyst expression scorer without a SparkSession
+    (tests/test_fused_scorer_kernel.py) — the round-4 true-norm fp16 fix
+    was found by eyeball; the property test catches that class
+    mechanically (VERDICT r4 next #8)."""
+    import numpy as np
+    import pyarrow as pa
+
+    B = rb.num_rows
+    if B == 0:
+        return None
+    total_w = (w_cos + w_jaccard) or 1.0
+    # emb arrives as fp16-packed binary (the default checkpoint storage) or
+    # array<float>; decode straight off Arrow buffers
+    ea = V.emb_matrix_arrow(rb.column("_emb_a"))
+    eb = V.emb_matrix_arrow(rb.column("_emb_b"))
+    # divide by the actual norms, never trust stored normalization: fp16
+    # storage re-quantizes AFTER the featurizer's L2-normalize, drifting row
+    # norms by up to ~1e-3 — a raw dot would leave the [-1, 1] range and
+    # move threshold decisions vs an f32 run
+    dn = np.linalg.norm(ea, axis=1) * np.linalg.norm(eb, axis=1)
+    dn[dn == 0] = 1.0
+    cos = _fused_round6(np.einsum("ij,ij->i", ea, eb) / dn)
+    la, _, keys_a = _fused_packed_keys(rb.column("_xs_a"))
+    lb, ridx_b, keys_b = _fused_packed_keys(rb.column("_xs_b"))
+    # both key arrays are sorted (rows ascend; xs sorted-distinct within a
+    # row) → vectorized merge-intersection via searchsorted
+    pos = np.searchsorted(keys_a, keys_b)
+    pos_ok = pos < len(keys_a)
+    hit = np.zeros(len(keys_b), dtype=bool)
+    hit[pos_ok] = keys_a[pos[pos_ok]] == keys_b[pos_ok]
+    inter = np.bincount(ridx_b[hit], minlength=B)
+    union = la + lb - inter
+    jac = _fused_round6(inter / np.maximum(union, 1))
+    score = _fused_round6((w_cos * cos + w_jaccard * jac) / total_w)
+    return pa.RecordBatch.from_arrays(
+        [
+            rb.column("mention_id_a"),
+            rb.column("mention_id_b"),
+            rb.column("block_key"),
+            pa.array(cos, type=pa.float64()),
+            pa.array(jac, type=pa.float64()),
+            pa.array(score, type=pa.float64()),
+        ],
+        names=[
+            "mention_id_a", "mention_id_b", "block_key",
+            "cos", "jaccard", "score",
+        ],
+    )
+
+
 def candidate_pairs(blocks: DataFrame) -> DataFrame:
     """blocks(block_key, mention_id) → distinct (mention_id_a < mention_id_b)
     pairs, keeping one (deterministic: min) originating block key."""
@@ -135,9 +210,7 @@ def score_pairs_fused_arrow(
     """
     from collections.abc import Iterator as _It
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc  # explicit: pa.compute is a lazy submodule
+    import pyarrow as pa  # noqa: F401 — type hints in _score
     from pyspark.sql.types import (
         DoubleType as _Dbl,
         LongType as _Lng,
@@ -166,7 +239,6 @@ def score_pairs_fused_arrow(
             "mention_id_b",
         )
     )
-    total_w = (w_cos + w_jaccard) or 1.0
     schema = _ST(
         [
             _SF("mention_id_a", _Lng()),
@@ -178,60 +250,11 @@ def score_pairs_fused_arrow(
         ]
     )
 
-    def _round6(x: np.ndarray) -> np.ndarray:
-        # HALF_UP like F.round (np.round is banker's)
-        return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
-
-    def _packed_keys(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """list<int> Arrow array → (lengths, row_idx, (row_idx<<31)|value),
-        all from the flat values buffer — zero per-row Python objects."""
-        la = pc.list_value_length(arr).to_numpy().astype(np.int64)
-        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        ridx = np.repeat(np.arange(len(arr), dtype=np.int64), la)
-        return la, ridx, (ridx << np.int64(31)) | flat
-
     def _score(batches: _It["pa.RecordBatch"]) -> _It["pa.RecordBatch"]:
         for rb in batches:
-            B = rb.num_rows
-            if B == 0:
-                continue
-            # emb arrives as fp16-packed binary (the default checkpoint
-            # storage) or array<float>; decode straight off Arrow buffers
-            ea = V.emb_matrix_arrow(rb.column("_emb_a"))
-            eb = V.emb_matrix_arrow(rb.column("_emb_b"))
-            # divide by the actual norms, never trust stored normalization:
-            # fp16 storage re-quantizes AFTER the featurizer's L2-normalize,
-            # drifting row norms by up to ~1e-3 — a raw dot would leave the
-            # [-1, 1] range and move threshold decisions vs an f32 run
-            dn = np.linalg.norm(ea, axis=1) * np.linalg.norm(eb, axis=1)
-            dn[dn == 0] = 1.0
-            cos = _round6(np.einsum("ij,ij->i", ea, eb) / dn)
-            la, _, keys_a = _packed_keys(rb.column("_xs_a"))
-            lb, ridx_b, keys_b = _packed_keys(rb.column("_xs_b"))
-            # both key arrays are sorted (rows ascend; xs sorted-distinct
-            # within a row) → vectorized merge-intersection via searchsorted
-            pos = np.searchsorted(keys_a, keys_b)
-            pos_ok = pos < len(keys_a)
-            hit = np.zeros(len(keys_b), dtype=bool)
-            hit[pos_ok] = keys_a[pos[pos_ok]] == keys_b[pos_ok]
-            inter = np.bincount(ridx_b[hit], minlength=B)
-            union = la + lb - inter
-            jac = _round6(inter / np.maximum(union, 1))
-            score = _round6((w_cos * cos + w_jaccard * jac) / total_w)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    rb.column("mention_id_a"),
-                    rb.column("mention_id_b"),
-                    rb.column("block_key"),
-                    pa.array(cos, type=pa.float64()),
-                    pa.array(jac, type=pa.float64()),
-                    pa.array(score, type=pa.float64()),
-                ],
-                names=[
-                    "mention_id_a", "mention_id_b", "block_key",
-                    "cos", "jaccard", "score",
-                ],
-            )
+            out = _fused_score_batch(rb, w_cos, w_jaccard)
+            if out is not None:
+                yield out
 
     return joined.mapInArrow(_score, schema)
 

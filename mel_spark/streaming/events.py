@@ -101,7 +101,9 @@ def _capped_session_fold(
 
     Returns (closed, open): the sessions this batch CLOSES (in order —
     including the carried one when the batch's first event opens a new
-    session by gap or cap) and the still-open last session.
+    session by gap or cap) and the still-open last session.  An empty
+    batch is the fold identity: ``([], carried)`` (open may be None iff
+    the batch is empty and nothing was carried).
 
     Module-level (not a closure) so the fold law the streaming operator
     relies on — folding any split of a stream batch-by-batch yields exactly
@@ -116,6 +118,12 @@ def _capped_session_fold(
     import numpy as np
 
     m = len(ts)
+    if m == 0:
+        # empty batch = the fold identity: nothing closes, the carried
+        # session (possibly None) stays as-is.  The Spark caller never sends
+        # empty groups, but the kernel is a documented module-level fold
+        # step where an empty slice is a legal call (ADVICE r4).
+        return [], (None if carried is None else tuple(carried))
     # gap boundaries: first row continues the open session iff within gap
     new_seg = np.empty(m, dtype=bool)
     new_seg[0] = carried is None or (ts[0] - carried[1]) > gap_us

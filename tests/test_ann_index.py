@@ -208,3 +208,179 @@ def test_dim_mismatch_refused(spark, emb_df, tmp_path):
     bad = emb_df.withColumn("embedding", F.slice("embedding", 1, 8))
     with pytest.raises(ValueError, match="dim"):
         ivf_index_topk(spark, bad.filter(F.col("vec_id") < 5), p, k=K)
+
+
+# ---------------------------------------------------------------------------
+# Fold-maintained index: append epochs under frozen centroids (r5)
+# ---------------------------------------------------------------------------
+
+
+def _split(emb_df):
+    """Deterministic base/batch split of the fixture corpus."""
+    base = emb_df.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb_df.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    return base, batch
+
+
+@pytest.mark.parametrize("fit", ["relational", "numpy"])
+def test_append_equals_probing_grown_corpus_exactly(spark, emb_df, queries, tmp_path, fit):
+    """Build over the base corpus, append the batch → probing must equal an
+    independent oracle computed in-test: assign EVERY corpus row to its cell
+    with plain numpy over the stored centroids, take each query's nprobe
+    best cells the same way, brute-force exact cosine over those cells'
+    members. Catches wrong frozen-centroid assignment, rows landing in wrong
+    epochs/cells, and probes missing appended rows."""
+    import math
+
+    import numpy as np
+
+    from mel_spark.operators.ann_index import append_to_ivf_index
+
+    base, batch = _split(emb_df)
+    p = str(tmp_path / f"ivf_app_{fit}")
+    build_ivf_index(base, p, n_cells=CELLS, iterations=ITERS, seed=42,
+                    fit=fit, emb_format="f32")
+    meta = append_to_ivf_index(batch, p)
+    assert meta["rows"] == emb_df.count()
+    assert meta["epochs"] == [0, 1]
+
+    got = _rows(ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE))
+
+    # independent numpy oracle over the STORED centroids
+    cents = {
+        r["cell"]: np.array(r["cent"], dtype=np.float64)
+        for r in spark.read.parquet(os.path.join(p, "centroids")).collect()
+    }
+    # numpy fit stores ALREADY-normalized float32 centroids and scores raw
+    # dots against them (_assign_cells does not renormalize) — the oracle
+    # must not either, or float64-renormalization flips near-ties
+    C = np.stack([cents[c] for c in sorted(cents)])
+    Cn = C.astype(np.float32).astype(np.float64)
+    all_rows = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb_df.collect()
+    }
+
+    def _round6(x):
+        return (math.floor(x * 1e6 + 0.5) if x >= 0 else math.ceil(x * 1e6 - 0.5)) / 1e6
+
+    def _cell_of(v):
+        vn = v / (np.linalg.norm(v) or 1.0)
+        # both fit modes break centroid ties toward the lowest cell id
+        sims = vn @ Cn.T if fit == "numpy" else np.array(
+            [_round6(float(vn @ (c / (np.linalg.norm(c) or 1.0)))) for c in C]
+        )
+        return int(np.argmax(sims))
+
+    members = {}
+    for vid, v in all_rows.items():
+        members.setdefault(_cell_of(v), []).append(vid)
+
+    expect = []
+    for r in queries.collect():
+        qid, q = r["vec_id"], np.array(r["embedding"], dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        sims = qn @ Cn.T
+        probe_cells = sorted(
+            range(len(C)), key=lambda c: (-sims[c], c)
+        )[:NPROBE] if fit == "numpy" else sorted(
+            range(len(C)),
+            key=lambda c: (
+                -_round6(float(qn @ (C[c] / (np.linalg.norm(C[c]) or 1.0)))), c,
+            ),
+        )[:NPROBE]
+        cand = [
+            v for c in probe_cells for v in members.get(c, []) if v != qid
+        ]
+        scored = sorted(
+            (
+                (-_round6(float(
+                    (q / (np.linalg.norm(q) or 1.0))
+                    @ (all_rows[v] / (np.linalg.norm(all_rows[v]) or 1.0))
+                )), v)
+                for v in cand
+            ),
+        )[:K]
+        for rank, (negcos, v) in enumerate(scored, start=1):
+            expect.append((qid, v, -negcos, rank))
+    assert got == sorted(expect)
+
+
+def test_append_split_invariance_and_drift(spark, emb_df, queries, tmp_path):
+    """Appending a batch in one epoch vs two must probe identically (epochs
+    are storage, not semantics), and the drift accounting must see the
+    appended fraction."""
+    from mel_spark.operators.ann_index import append_to_ivf_index, ivf_cell_drift
+
+    base, batch = _split(emb_df)
+    b1 = batch.filter(F.col("vec_id") < 250)
+    b2 = batch.filter(F.col("vec_id") >= 250)
+
+    p_one = str(tmp_path / "one")
+    p_two = str(tmp_path / "two")
+    for p in (p_one, p_two):
+        build_ivf_index(base, p, n_cells=CELLS, iterations=ITERS, seed=42,
+                        fit="numpy", emb_format="f16")
+    append_to_ivf_index(batch, p_one)
+    append_to_ivf_index(b1, p_two)
+    meta = append_to_ivf_index(b2, p_two)
+    assert meta["epochs"] == [0, 1, 2]
+    assert _rows(ivf_index_topk(spark, queries, p_one, k=K, nprobe=NPROBE)) == \
+        _rows(ivf_index_topk(spark, queries, p_two, k=K, nprobe=NPROBE))
+
+    drift = {r["cell"]: r for r in ivf_cell_drift(spark, p_two).collect()}
+    n_app = batch.count()
+    assert sum(r["appended"] for r in drift.values()) == n_app
+    assert sum(r["total"] for r in drift.values()) == emb_df.count()
+    assert all(0.0 <= r["drift_frac"] <= 1.0 for r in drift.values())
+
+
+def test_append_crash_fence_and_refit_flag(spark, emb_df, queries, tmp_path):
+    """An uncommitted epoch (crash between write and _META commit) is
+    invisible to probes and swept by the next append; crossing the refit
+    threshold flips needs_refit."""
+    import shutil
+
+    from mel_spark.operators.ann_index import append_to_ivf_index
+
+    base, batch = _split(emb_df)
+    p = str(tmp_path / "ivf_fence")
+    build_ivf_index(base, p, n_cells=CELLS, iterations=1, seed=42,
+                    fit="numpy", emb_format="f32")
+    before = _rows(ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE))
+
+    # simulate a crashed append: epoch files exist, _META never updated
+    meta_path = os.path.join(p, "_META.json")
+    committed = open(meta_path).read()
+    append_to_ivf_index(batch, p)
+    with open(meta_path, "w") as f:
+        f.write(committed)  # roll back the commit → epoch 1 is orphaned
+    assert _rows(ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE)) == before
+
+    # retry sweeps the orphan, then lands cleanly (no doubled rows)
+    meta = append_to_ivf_index(batch, p)
+    assert meta["rows"] == emb_df.count()
+    lists = spark.read.parquet(os.path.join(p, "lists"))
+    assert lists.count() == emb_df.count()
+    assert not meta["needs_refit"]
+
+    # tiny threshold → the appended fraction (~20%) crosses it
+    meta2 = append_to_ivf_index(
+        base.filter(F.col("vec_id") < 10).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000)),
+        p, refit_threshold=0.1,
+    )
+    assert meta2["needs_refit"]
+
+
+def test_append_refuses_capped_index(spark, emb_df, tmp_path):
+    from mel_spark.operators.ann_index import append_to_ivf_index
+
+    p = str(tmp_path / "ivf_capref")
+    build_ivf_index(
+        emb_df.withColumn("label", F.pmod(F.col("vec_id"), F.lit(7))),
+        p, n_cells=CELLS, iterations=1, fit="numpy", emb_format="f32",
+        max_per_key=3, key_col="label",
+    )
+    with pytest.raises(ValueError, match="max_per_key"):
+        append_to_ivf_index(emb_df.limit(5), p)

@@ -64,13 +64,14 @@ def test_fold_law_random_splits(stream, gap_us, cap, data):
 
     n = len(events)
     n_cuts = data.draw(st.integers(min_value=0, max_value=min(6, n - 1)))
+    # NOT unique: duplicate cuts produce EMPTY micro-batches, which must be
+    # the fold identity (ADVICE r4 — the m == 0 path)
     cuts = sorted(
         data.draw(
             st.lists(
                 st.integers(1, n - 1),
                 min_size=n_cuts,
                 max_size=n_cuts,
-                unique=True,
             )
         )
         if n > 1
@@ -101,6 +102,19 @@ def test_single_batch_matches_reference(stream, gap_us, cap):
     closed, open_sess = _capped_session_fold(ts, val, None, gap_us, cap)
     assert closed == ref_closed
     assert open_sess == ref_open
+
+
+def test_empty_batch_is_fold_identity():
+    """An empty slice closes nothing and passes the carried session (or its
+    absence) through unchanged (ADVICE r4)."""
+    empty_ts = np.array([], dtype=np.int64)
+    empty_val = np.array([], dtype=np.float64)
+    assert _capped_session_fold(empty_ts, empty_val, None, 10, 3) == ([], None)
+    carried = (0, 2, 3, 3.0)
+    assert _capped_session_fold(empty_ts, empty_val, carried, 10, 3) == (
+        [],
+        carried,
+    )
 
 
 def test_carried_session_exactly_at_cap_closes_on_next_in_gap_event():

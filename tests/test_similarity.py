@@ -86,14 +86,19 @@ def test_ivf_centroids_deterministic(spark, emb_df):
 
 
 def test_broadcast_knn_index_path_matches_default(spark, sf_dir, emb_df):
-    """index_path mode (executors load the parquet themselves; driver never
-    touches vectors) must be byte-identical to the default packed-gather
-    mode — canonical id-sorted index + exact boundary-tie ranking make the
-    output independent of how the index was delivered."""
+    """All three deliveries — explicit index_path, the r5 default
+    (auto-spill to scratch + executor-side load; zero driver gather), and
+    the opt-in packed collect — must be byte-identical: canonical id-sorted
+    index + exact boundary-tie ranking make the output independent of how
+    the index was delivered."""
     queries = emb_df.filter(F.col("vec_id") < 20)
-    default = {
+    auto_spill = {
         r["query_id"]: list(r["neighbor_ids"])
         for r in broadcast_knn(queries, emb_df, k=5).collect()
+    }
+    collected = {
+        r["query_id"]: list(r["neighbor_ids"])
+        for r in broadcast_knn(queries, emb_df, k=5, delivery="collect").collect()
     }
     via_path = {
         r["query_id"]: list(r["neighbor_ids"])
@@ -101,7 +106,9 @@ def test_broadcast_knn_index_path_matches_default(spark, sf_dir, emb_df):
             queries, emb_df, k=5, index_path=f"{sf_dir}/embeddings.parquet"
         ).collect()
     }
-    assert default == via_path
+    assert auto_spill == via_path == collected
+    with pytest.raises(ValueError, match="delivery"):
+        broadcast_knn(queries, emb_df, k=5, delivery="bogus")
 
 
 def test_ivf_quantized_reorder_matches_unquantized(spark, emb_df):
