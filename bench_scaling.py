@@ -24,7 +24,9 @@ first measurement; replaces round-4's best-of-invocations selection):
     (a) spin_median_slow  <= 1.20   (no sustained whole-leg contention;
                                      allowance for frequency dips)
     (b) spin_burst_frac   <= 0.05   (<=5% of ~5 s spin windows slower than
-                                     1.35x the leg's own median)
+                                     1.35x the leg's own median WHILE the
+                                     guest had idle cores — external
+                                     slowness only; probe v2 note below)
     (c) steal_burst_frac  <= 0.05 and steal_mean <= 0.05
                                     (secondary: guest-visible steal, if the
                                      kernel accounts it at all)
@@ -39,6 +41,18 @@ first measurement; replaces round-4's best-of-invocations selection):
   (The membw probe is recorded as a diagnostic only: the leg's own memory
   traffic slows it differentially by leg width, so gating on it would
   bias acceptance — see tools/contention_probe.py.)
+
+  PROBE v2 (instrument fix, recorded before campaign pair 3): v1 classified
+  ANY slow spin window as a burst; the first two pairs showed local[8]
+  legs at near-record walls being rejected at 14-24% "burst" windows —
+  the leg's own transient thread spikes (wider at 4N than N) queue the
+  1-thread probe.  v2 keeps every threshold identical but counts a slow
+  window only when the guest had idle cores during it (busy < 0.9):
+  with free cores a slow probe can only mean the hypervisor withheld
+  time.  Pairs measured under v1 carry no busy data and stay judged by
+  their recorded (raw) burst fraction — conservative, both were
+  rejected.  The undiscriminated rate is still recorded per leg as
+  spin_burst_frac_raw for transparency.
 """
 
 from __future__ import annotations

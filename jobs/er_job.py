@@ -28,6 +28,38 @@ import sys
 import time
 
 
+def _maintain_ann_index(spark, ckpt_dir: str, index_path: str) -> dict:
+    """Keep the persisted IVF index in step with a fold: append the fold's
+    NEW embeddings (embed_delta) under the frozen centroids, idempotent per
+    fold (the checkpoint dir is the epoch token, so a replayed green fold is
+    a no-op); if no index exists yet, build one from the full embed chain."""
+    import os as _os
+
+    from mel_spark.operators.ann_index import (
+        append_to_ivf_index,
+        ensure_ivf_index,
+        read_index_meta,
+    )
+    from mel_spark.operators.incremental import read_stage_chain
+    from mel_spark.sources.checkpoint import CheckpointManager
+
+    try:
+        read_index_meta(index_path)
+    except FileNotFoundError:
+        feats_all = read_stage_chain(spark, ckpt_dir, "embed")
+        return ensure_ivf_index(
+            feats_all.select("csid", "emb"), index_path, i_id="csid", i_emb="emb"
+        )
+    delta = CheckpointManager(ckpt_dir).read("embed_delta", spark)
+    return append_to_ivf_index(
+        delta.select("csid", "emb"),
+        index_path,
+        i_id="csid",
+        i_emb="emb",
+        token=_os.path.abspath(ckpt_dir),
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", help="dir containing repos.parquet (+ optional reference_clusters.parquet)")
@@ -68,6 +100,16 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="bucket count when (re)building --bucketed-index "
         "(default: sources/bucketed.py DEFAULT_BUCKETS)",
+    )
+    p.add_argument(
+        "--ann-index-path",
+        help="persisted IVF index dir (operators/ann_index.py) kept in step "
+        "with the pipeline: full run — built from the run's embed "
+        "checkpoint iff absent; fold — the batch's NEW embeddings are "
+        "appended under the frozen centroids as one fenced epoch "
+        "(idempotent per fold via the checkpoint-dir token), so the "
+        "served index follows the incremental story between refits "
+        "(meta.needs_refit flags when appends exceed half the index)",
     )
     p.add_argument(
         "--probe-sort-merge",
@@ -180,6 +222,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.bucketed_index,
             )
             bucketed.record_fold_appended(args.checkpoint, args.bucketed_index)
+        ann_meta = None
+        if args.ann_index_path:
+            ann_meta = _maintain_ann_index(spark, args.checkpoint, args.ann_index_path)
         n_survivors = None
         if args.emit_survivors:
             from mel_spark.operators.dedup import select_survivors
@@ -211,6 +256,12 @@ def main(argv: list[str] | None = None) -> int:
         }
         if n_survivors is not None:
             metrics["survivors"] = n_survivors
+        if ann_meta is not None:
+            metrics["ann_index"] = {
+                "rows": ann_meta["rows"],
+                "epochs": len(ann_meta["epochs"]),
+                "needs_refit": ann_meta.get("needs_refit", False),
+            }
         if gold is not None:
             from pyspark.sql import functions as F
             from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf
@@ -249,6 +300,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.bucketed_index_buckets is not None:
             kw["n_buckets"] = args.bucketed_index_buckets
         bucketed.ensure_bucketed_index(spark, args.bucketed_index, args.checkpoint, **kw)
+    ann_meta = None
+    if args.ann_index_path:
+        from mel_spark.operators.ann_index import ensure_ivf_index
+        from mel_spark.sources.checkpoint import CheckpointManager as _AnnMgr
+
+        ann_meta = ensure_ivf_index(
+            _AnnMgr(args.checkpoint).read("embed", spark).select("csid", "emb"),
+            args.ann_index_path, i_id="csid", i_emb="emb",
+        )
     from mel_spark.sources.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(args.checkpoint)
@@ -295,6 +355,12 @@ def main(argv: list[str] | None = None) -> int:
     }
     if n_survivors is not None:
         metrics["survivors"] = n_survivors
+    if ann_meta is not None:
+        metrics["ann_index"] = {
+            "rows": ann_meta["rows"],
+            "epochs": len(ann_meta["epochs"]),
+            "needs_refit": ann_meta.get("needs_refit", False),
+        }
     if gold is not None:
         from mel_spark.operators.evaluate import pairs_from_clusters, pairwise_prf
 

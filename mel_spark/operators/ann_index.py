@@ -305,6 +305,7 @@ def append_to_ivf_index(
     i_id: str = "vec_id",
     i_emb: str = "embedding",
     refit_threshold: float = 0.5,
+    token: str | None = None,
 ) -> dict:
     """Fold-maintained index (VERDICT r4 next #2): append a batch's NEW
     vectors to the persisted lists using the FROZEN stored centroids, so a
@@ -332,8 +333,14 @@ def append_to_ivf_index(
 
     Cap-built indexes (``max_per_key``) are rebuild-only: enforcing the cap
     across old+new keys would need the key column persisted per row.
+
+    ``token``: optional idempotency key (e.g. the fold's checkpoint dir) —
+    if a committed epoch already carries it the call is a no-op, so a
+    replayed fold (crash after commit) cannot double-append its batch.
     """
     meta = read_index_meta(path)
+    if token is not None and token in meta.get("epoch_tokens", {}).values():
+        return meta  # this batch already committed (fold replay)
     if meta.get("max_per_key") is not None:
         raise ValueError(
             "append_to_ivf_index: index was built with max_per_key — the "
@@ -377,6 +384,8 @@ def append_to_ivf_index(
 
     meta["epochs"] = meta["epochs"] + [epoch]
     meta["epoch_rows"][str(epoch)] = n_new
+    if token is not None:
+        meta.setdefault("epoch_tokens", {})[str(epoch)] = token
     meta["rows"] = meta["rows"] + n_new
     appended = sum(
         n for e, n in meta["epoch_rows"].items() if e != "0"
@@ -384,6 +393,30 @@ def append_to_ivf_index(
     meta["needs_refit"] = bool(appended > refit_threshold * meta["rows"])
     _commit_meta(path, meta)
     return meta
+
+
+def ensure_ivf_index(
+    feats: DataFrame,
+    path: str,
+    i_id: str = "vec_id",
+    i_emb: str = "embedding",
+    n_cells: int | None = None,
+    **build_kw,
+) -> dict:
+    """Build the index iff ``path`` has no committed one; otherwise return
+    the existing meta untouched.  ``n_cells`` defaults to the reference's
+    ScaNN leaf heuristic 5·√N (find_recall.py:28-37), floored at 4."""
+    try:
+        return read_index_meta(path)
+    except FileNotFoundError:
+        pass
+    if n_cells is None:
+        n = feats.count()
+        n_cells = max(4, int(5 * (n ** 0.5)) or 4)
+        n_cells = min(n_cells, max(4, n))  # never more cells than rows
+    return build_ivf_index(
+        feats, path, n_cells=n_cells, i_id=i_id, i_emb=i_emb, **build_kw
+    )
 
 
 def ivf_cell_drift(spark: SparkSession, path: str) -> DataFrame:

@@ -384,3 +384,32 @@ def test_append_refuses_capped_index(spark, emb_df, tmp_path):
     )
     with pytest.raises(ValueError, match="max_per_key"):
         append_to_ivf_index(emb_df.limit(5), p)
+
+
+def test_ensure_and_token_idempotency(spark, emb_df, queries, tmp_path):
+    """ensure_ivf_index builds only when absent; append with a fold token is
+    replay-safe (second call with the same token is a committed no-op) —
+    the contract jobs/er_job.py --ann-index-path relies on."""
+    from mel_spark.operators.ann_index import (
+        append_to_ivf_index,
+        ensure_ivf_index,
+        read_index_meta,
+    )
+
+    base, batch = _split(emb_df)
+    p = str(tmp_path / "ivf_ensure")
+    m1 = ensure_ivf_index(base, p, n_cells=CELLS, iterations=1, seed=42,
+                          fit="numpy", emb_format="f16")
+    assert m1["rows"] == base.count()
+    # present → untouched (no rebuild, same meta)
+    m2 = ensure_ivf_index(batch, p)
+    assert m2 == read_index_meta(p) and m2["rows"] == base.count()
+
+    a1 = append_to_ivf_index(batch, p, token="fold-7")
+    before = _rows(ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE))
+    a2 = append_to_ivf_index(batch, p, token="fold-7")  # replayed fold
+    assert a2 == a1 and a2["epochs"] == [0, 1]
+    assert a2["epoch_tokens"] == {"1": "fold-7"}
+    assert _rows(ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE)) == before
+    lists = spark.read.parquet(os.path.join(p, "lists"))
+    assert lists.count() == emb_df.count()  # not doubled

@@ -25,7 +25,11 @@ Summary fields per leg (see ``ProbeSampler.summary``):
 - ``spin_median_slow``   — leg-median chunk wall / calibrated wall.
 - ``spin_burst_frac``    — fraction of ~5 s spin windows slower than
   1.35 x the LEG's OWN median (robust to sustained-frequency dips,
-  which shift the median but are not bursts).
+  which shift the median but are not bursts) WHILE the guest had idle
+  cores (busy < 0.9) — i.e. externally-caused slowness only.  The
+  undiscriminated rate is reported as ``spin_burst_frac_raw`` (probe v2:
+  v1 gated on the raw rate and systematically over-rejected local[8]
+  legs, whose own transient thread spikes queue the probe).
 - ``steal_mean`` / ``steal_burst_frac`` — mean steal fraction, and the
   fraction of 2 s windows with steal >= 0.15.
 - ``membw_median_slow`` — diagnostic, not gated.
@@ -65,15 +69,17 @@ def _spin_chunk(n: int = SPIN_N) -> float:
     return dt
 
 
-def _read_steal():
+def _read_stat():
+    """(steal, idle+iowait, total) jiffies from the aggregate cpu line."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = list(map(int, parts[1:]))
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return steal, idle, sum(vals)
     except Exception:
-        return 0, 0
+        return 0, 0, 0
 
 
 def calibrate_spin(trials: int = 30) -> float:
@@ -99,6 +105,7 @@ class ProbeSampler:
         self.spin_t0 = spin_t0
         self.membw_bytes = membw_bytes
         self.spin_samples: list[float] = []
+        self.busy_samples: list[float] = []  # guest busy-core fraction per ~1 s
         self.steal_windows: list[float] = []
         self.membw_samples: list[float] = []
         self._stop = threading.Event()
@@ -111,17 +118,29 @@ class ProbeSampler:
             dst = np.empty_like(src)
         except Exception:
             src = dst = None
-        prev_steal, prev_total = _read_steal()
+        prev_steal, prev_idle, prev_total = _read_stat()
+        prev2_steal, prev2_idle, prev2_total = prev_steal, prev_idle, prev_total
         last_steal_t = last_membw_t = time.monotonic()
         while not self._stop.is_set():
             self.spin_samples.append(_spin_chunk())
+            # guest busy fraction over the interval since the last sample:
+            # the discriminator between EXTERNAL contention (probe slow while
+            # the guest had idle cores → the hypervisor stole time) and the
+            # leg's own transient thread spikes (guest fully busy → queueing
+            # is self-induced and identical-by-design at both leg widths)
+            cur_steal, cur_idle, cur_total = _read_stat()
+            dtot = cur_total - prev2_total
+            if dtot > 0:
+                self.busy_samples.append(1.0 - (cur_idle - prev2_idle) / dtot)
+            else:
+                self.busy_samples.append(0.0)
+            prev2_steal, prev2_idle, prev2_total = cur_steal, cur_idle, cur_total
             now = time.monotonic()
             if now - last_steal_t >= 2.0:
-                cur_steal, cur_total = _read_steal()
                 dtot = cur_total - prev_total
                 if dtot > 0:
                     self.steal_windows.append((cur_steal - prev_steal) / dtot)
-                prev_steal, prev_total = cur_steal, cur_total
+                prev_steal, prev_idle, prev_total = cur_steal, cur_idle, cur_total
                 last_steal_t = now
             if src is not None and now - last_membw_t >= 5.0:
                 t0 = time.perf_counter()
@@ -152,15 +171,33 @@ class ProbeSampler:
             wins = [
                 sum(s[i : i + 5]) / len(s[i : i + 5]) for i in range(0, len(s), 5)
             ]
+            b = self.busy_samples
+            busy_wins = [
+                sum(b[i : i + 5]) / len(b[i : i + 5]) for i in range(0, len(b), 5)
+            ]
+            busy_wins += [0.0] * (len(wins) - len(busy_wins))
             med = statistics.median(wins)
             out["n_spin_windows"] = len(wins)
             out["spin_median_slow"] = round(med / self.spin_t0, 4)
             # burst line at 1.35x the leg's own median: benign full-leg loads
             # measured windows up to ~1.26x (scheduler jitter), real steal
-            # bursts 1.5-2.6x — 1.35 separates the populations with margin
+            # bursts 1.5-2.6x — 1.35 separates the populations with margin.
+            # A slow window counts as an EXTERNAL burst only when the guest
+            # itself had idle cores (busy < 0.9): with free cores a 1-thread
+            # probe can only run slow if the hypervisor withheld time, while
+            # a fully-busy guest means the leg's own transient thread spikes
+            # (wider at local[8] than local[2]) queued the probe — a
+            # self-signal, not host contention (probe v2; v1 rejected a
+            # 313 s near-record large leg at 24% "bursts").
+            slow = [x > 1.35 * med for x in wins]
             out["spin_burst_frac"] = round(
-                sum(1 for x in wins if x > 1.35 * med) / len(wins), 4
+                sum(
+                    1 for sl, bw in zip(slow, busy_wins) if sl and bw < 0.9
+                ) / len(wins),
+                4,
             )
+            out["spin_burst_frac_raw"] = round(sum(slow) / len(wins), 4)
+            out["busy_mean"] = round(sum(busy_wins) / len(busy_wins), 4)
             out["spin_max_slow"] = round(max(wins) / self.spin_t0, 4)
         if self.steal_windows:
             out["steal_mean"] = round(
