@@ -34,6 +34,7 @@ from mel_spark.operators.incremental import (
     chain_depth,
     compact_checkpoint,
     incremental_update,
+    read_stage_chain,
 )
 from mel_spark.pipeline import ERConfig
 
@@ -75,6 +76,11 @@ class StreamingFoldState:
     bucketed_table: str | None = None
     bucketed_path: str | None = None
     bucketed_buckets: int | None = None  # None = sources/bucketed.py default
+    # persisted IVF ANN index maintenance (operators/ann_index.py): when set,
+    # every epoch appends its embed_delta under the index's frozen centroids
+    # as one fenced epoch (the fold dir is the idempotency token, so a
+    # replayed epoch is a committed no-op); built from the chain on first use
+    ann_index_path: str | None = None
     probe_broadcast_delta: bool = True  # False = sort-merge probe (big epochs)
     # False = sort-merge relabel (epochs touching a mega-cluster whose
     # membership exceeds the broadcast ceiling)
@@ -191,6 +197,32 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
             state.bucketed_table,
         )
         bucketed.record_fold_appended(fold_dir, state.bucketed_table)
+    if state.ann_index_path:
+        # same ordering rule as the bucketed append: maintain the served
+        # index BEFORE advancing the head, fenced by the fold-dir token
+        from mel_spark.operators.ann_index import (
+            append_to_ivf_index,
+            ensure_ivf_index,
+            read_index_meta,
+        )
+        from mel_spark.sources.checkpoint import CheckpointManager as _AnnMgr
+
+        try:
+            read_index_meta(state.ann_index_path)
+            append_to_ivf_index(
+                _AnnMgr(fold_dir).read("embed_delta", spark).select("csid", "emb"),
+                state.ann_index_path,
+                i_id="csid",
+                i_emb="emb",
+                token=fold_dir,
+            )
+        except FileNotFoundError:
+            ensure_ivf_index(
+                read_stage_chain(spark, fold_dir, "embed").select("csid", "emb"),
+                state.ann_index_path,
+                i_id="csid",
+                i_emb="emb",
+            )
     state._advance(fold_dir)
     cadence_hit = state.compact_every and state.total_folds % state.compact_every == 0
     depth_hit = state.max_chain_depth and chain_depth(fold_dir) >= state.max_chain_depth

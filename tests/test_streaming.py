@@ -585,3 +585,45 @@ def test_capped_sessions_event_time_timeout_flushes_idle_user(spark, tmp_path):
     assert a["session_start"] == t0
     assert a["session_end"] == t0 + dt.timedelta(seconds=60)
     assert 8 not in by_user  # user 8's session is still open (no later data)
+
+
+def test_streaming_fold_maintains_ann_index(spark, tmp_path):
+    """With ann_index_path set, epoch 0 builds the persisted IVF index from
+    the chain and later epochs append their embed_delta as fenced epochs —
+    and a replayed epoch (same fold dir token) does not double-append."""
+    import os
+
+    from mel_spark.operators.ann_index import read_index_meta
+    from mel_spark.pipeline import run_pipeline
+    from mel_spark.streaming import StreamingFoldState, fold_micro_batch
+
+    repos, shard = _mk_split_repos(spark, n_files=120, seed=37)
+    base = str(tmp_path / "base")
+    run_pipeline(spark, repos.filter(shard < 6), base)
+    idx = str(tmp_path / "ann_idx")
+    st = StreamingFoldState(
+        base_checkpoint=base,
+        fold_root=str(tmp_path / "folds"),
+        ann_index_path=idx,
+    )
+    fold_micro_batch(st, repos.filter(shard.isin(6, 7)), epoch_id=0)
+    m0 = read_index_meta(idx)  # first use: built from the chain (base+epoch0)
+    assert m0["epochs"] == [0]
+
+    fold_micro_batch(st, repos.filter(shard.isin(8, 9)), epoch_id=1)
+    m1 = read_index_meta(idx)
+    assert len(m1["epochs"]) == 2 and m1["rows"] > m0["rows"]
+
+    # replay epoch 1 into the SAME fold dir (offsets loss): token fences
+    fold_dir = st.current_base()
+    from mel_spark.operators.ann_index import append_to_ivf_index
+    from mel_spark.sources.checkpoint import CheckpointManager
+
+    append_to_ivf_index(
+        CheckpointManager(fold_dir).read("embed_delta", spark).select("csid", "emb"),
+        idx, i_id="csid", i_emb="emb", token=fold_dir,
+    )
+    m2 = read_index_meta(idx)
+    assert m2["epochs"] == m1["epochs"] and m2["rows"] == m1["rows"]
+    lists = spark.read.parquet(os.path.join(idx, "lists"))
+    assert lists.count() == m2["rows"]
