@@ -36,6 +36,7 @@ AUDIT = [
     "ld_segment_dedup",
     "ta_gopher_rules",
     "knn_ivf_index",
+    "knn_ivf_append",
     "ev_capped_sessions",
 ]
 
