@@ -51,13 +51,22 @@ def _maintain_ann_index(spark, ckpt_dir: str, index_path: str) -> dict:
             feats_all.select("csid", "emb"), index_path, i_id="csid", i_emb="emb"
         )
     delta = CheckpointManager(ckpt_dir).read("embed_delta", spark)
-    return append_to_ivf_index(
+    meta = append_to_ivf_index(
         delta.select("csid", "emb"),
         index_path,
         i_id="csid",
         i_emb="emb",
         token=_os.path.abspath(ckpt_dir),
     )
+    if meta.get("needs_refit"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ann index %s: appended rows exceed the refit threshold — the "
+            "quantizer was fitted on a minority of the data; rebuild with "
+            "build_ivf_index at the next maintenance window", index_path,
+        )
+    return meta
 
 
 def main(argv: list[str] | None = None) -> int:
