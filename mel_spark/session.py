@@ -61,6 +61,19 @@ def get_spark(
         # threshold small; AQE upgrades SMJ→BHJ at runtime from ACTUAL shuffle
         # sizes, and known-small sides use explicit broadcast() ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # --- InferFiltersFromGenerate duplicates the ENTIRE generator
+        # expression into a `size(gen) > 0 AND isnotnull(gen)` filter below
+        # every explode — for our md5-shingle/minhash band arrays that filter
+        # re-runs the whole feature chain per row, and predicate pushdown then
+        # parks it below the scan-repartition Exchange where only a handful of
+        # file-split tasks execute it (measured: explode(band_keys) noop at
+        # sf0.01 5.4 s → 0.4 s with the rule excluded). The filter is
+        # redundant for correctness: explode already emits nothing for null or
+        # empty arrays ---
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # --- deterministic session timezone for reproducible hashing ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("MEL_SPARK_UI", "false"))
