@@ -49,7 +49,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ER family over `documents` (SURVEY §7.1; A1/A2/A8/J4 analogues)
 # ---------------------------------------------------------------------------
 
-def _doc_features(docs: DataFrame, with_lang: bool = False) -> DataFrame:
+def _doc_features(docs: DataFrame, with_lang: bool = False, with_bands: bool = False) -> DataFrame:
     """(doc_id[, lang], xs, sig) via staged projections: the shingle build and
     its single md5 pass each live in their own Project (CollapseProject will
     not duplicate non-cheap expressions into the 32 permutation subtrees).
@@ -57,9 +57,15 @@ def _doc_features(docs: DataFrame, with_lang: bool = False) -> DataFrame:
     verification runs on these 8-byte values, never on shingle strings (the
     md5 ints are cross-engine deterministic, so the oracle computes the same
     sets). ``with_lang`` only when the caller groups by language — keeps the
-    scan column-pruned otherwise."""
+    scan column-pruned otherwise.
+
+    ``with_bands=True`` replaces ``sig`` with the LSH band-key array (its only
+    consumer) so a persisted feature table carries the band md5s already
+    computed — the band self-join's two Generate sides then just explode a
+    cached array instead of each re-hashing all 16 bands per doc (r6: the two
+    band-key passes were ~20 s of the 50 s core-time of er_minhash_pairs)."""
     extra = ["lang"] if with_lang else []
-    return (
+    feats = (
         docs.select("doc_id", *extra, T.shingles("text", SHINGLE_N).alias("sh"))
         .select("doc_id", *extra, T.shingle_int_hashes(F.col("sh")).alias("xs"))
         .select(
@@ -69,12 +75,21 @@ def _doc_features(docs: DataFrame, with_lang: bool = False) -> DataFrame:
             T.minhash_signature_from_ints(F.col("xs"), MH_HASHES).alias("sig"),
         )
     )
+    if with_bands:
+        # staged select: band_keys references the sig COLUMN (not its
+        # expression), so the 32-permutation signature is not re-inlined into
+        # the 16 band subtrees
+        feats = feats.select(
+            "doc_id",
+            *extra,
+            "xs",
+            T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS).alias("bands"),
+        )
+    return feats
 
 
 def _band_blocks(feats: DataFrame) -> DataFrame:
-    return feats.select(
-        "doc_id", F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key")
-    )
+    return feats.select("doc_id", F.explode("bands").alias("band_key"))
 
 
 def _verify_pairs(cand: DataFrame, feats: DataFrame) -> DataFrame:
@@ -101,7 +116,7 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-doc feature table is persisted: both self-join sides and the
     verification join reuse it instead of recomputing the hash pass."""
     docs = _t(spark, sf_dir, "documents")
-    feats = _doc_features(docs).persist()
+    feats = _doc_features(docs, with_bands=True).persist()
     blocks = _band_blocks(feats)
     cand = (
         blocks.alias("x")
@@ -192,7 +207,7 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     is_new = F.pmod(F.col("doc_id"), F.lit(10)) >= 7
-    feats = _doc_features(docs).withColumn("_new", is_new).persist()
+    feats = _doc_features(docs, with_bands=True).withColumn("_new", is_new).persist()
     base_feats = feats.filter(~F.col("_new"))
 
     # ONE band self-join + ONE verification over all candidates, split
@@ -202,7 +217,7 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = feats.select(
         "doc_id",
         "_new",
-        F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key"),
+        F.explode("bands").alias("band_key"),
     )
     cand = (
         blocks.alias("x")

@@ -141,12 +141,27 @@ def brute_force_topk(
     # default) or array<float>; no-op for arrays
     queries = V.ensure_emb_array(queries, q_emb)
     index = V.ensure_emb_array(index, i_emb)
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb"))
-    i = index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb"))
+    # norms are per-ROW quantities: computing them before the cross join does
+    # each one once instead of once per PAIR (the fold is the same double
+    # arithmetic either way, so cos is bit-identical); the per-pair work drops
+    # from dot + 2 norms to just the dot
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_emb).alias("q_emb"),
+        V.l2_norm(F.col(q_emb)).alias("_qn"),
+    )
+    i = index.select(
+        F.col(i_id).alias("neighbor_id"),
+        F.col(i_emb).alias("i_emb"),
+        V.l2_norm(F.col(i_emb)).alias("_in"),
+    )
     scored = q.crossJoin(i)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+    scored = scored.withColumn(
+        "cos",
+        F.round(V.dot(F.col("q_emb"), F.col("i_emb")) / (F.col("_qn") * F.col("_in")), 6),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
