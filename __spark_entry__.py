@@ -65,25 +65,28 @@ def _doc_features(docs: DataFrame, with_lang: bool = False, with_bands: bool = F
     cached array instead of each re-hashing all 16 bands per doc (r6: the two
     band-key passes were ~20 s of the 50 s core-time of er_minhash_pairs)."""
     extra = ["lang"] if with_lang else []
+    # selectExpr with the *_sql builders: one SQL parse per stage instead of
+    # hundreds of py4j Column-construction roundtrips (~0.4 s per invocation
+    # measured); the parsed trees are the same Catalyst expressions
     feats = (
-        docs.select("doc_id", *extra, T.shingles("text", SHINGLE_N).alias("sh"))
-        .select("doc_id", *extra, T.shingle_int_hashes(F.col("sh")).alias("xs"))
-        .select(
+        docs.selectExpr("doc_id", *extra, f"{T.shingles_sql('text', SHINGLE_N)} AS sh")
+        .selectExpr("doc_id", *extra, f"{T.shingle_int_hashes_sql('sh')} AS xs")
+        .selectExpr(
             "doc_id",
             *extra,
-            F.array_sort(F.array_distinct("xs")).alias("xs"),
-            T.minhash_signature_from_ints(F.col("xs"), MH_HASHES).alias("sig"),
+            "array_sort(array_distinct(xs)) AS xs",
+            f"{T.minhash_signature_from_ints_sql('xs', MH_HASHES)} AS sig",
         )
     )
     if with_bands:
         # staged select: band_keys references the sig COLUMN (not its
         # expression), so the 32-permutation signature is not re-inlined into
         # the 16 band subtrees
-        feats = feats.select(
+        feats = feats.selectExpr(
             "doc_id",
             *extra,
             "xs",
-            T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS).alias("bands"),
+            f"{T.minhash_band_keys_sql('sig', MH_BANDS, MH_ROWS)} AS bands",
         )
     return feats
 
@@ -305,9 +308,8 @@ def q_er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking skew diagnostics per lang: blocks, max block size, pair fanout
     (the quantity salting bounds; north_rule skew handling)."""
     docs = _t(spark, sf_dir, "documents")
-    blocks = _doc_features(docs, with_lang=True).select(
-        "lang",
-        F.explode(T.minhash_band_keys(F.col("sig"), MH_BANDS, MH_ROWS)).alias("band_key"),
+    blocks = _doc_features(docs, with_lang=True, with_bands=True).selectExpr(
+        "lang", "explode(bands) AS band_key"
     )
     per_block = blocks.groupBy("lang", "band_key").agg(F.count(F.lit(1)).alias("sz"))
     return (

@@ -191,6 +191,49 @@ def minhash_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL string twins of the hot builders (r6). Building the unrolled
+# 32-permutation / 16-band expression trees through the Column API costs
+# hundreds of py4j driver roundtrips PER QUERY INVOCATION (~0.4 s measured
+# for one _doc_features build at warm JVM); the same tree parsed from one SQL
+# string is a single roundtrip. Each *_sql body mirrors its Column builder
+# operator-for-operator (same Catalyst expressions after parsing, so plans
+# and results are identical — asserted by tests/test_text_sql_twins.py).
+# ---------------------------------------------------------------------------
+
+def shingles_sql(text: str, n: int = 3) -> str:
+    toks = f"split({text}, ' ')"
+    m = f"greatest(size({toks}) - {n - 1}, 1)"
+    return (
+        f"array_distinct(transform(sequence(1, {m}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def shingle_int_hashes_sql(sh: str) -> str:
+    return (
+        f"transform({sh}, s -> "
+        f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {MINHASH_M})"
+    )
+
+
+def minhash_signature_from_ints_sql(xs: str, num_hashes: int = 16, seed: int = 42) -> str:
+    parts = ", ".join(
+        f"array_min(transform({xs}, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in _minhash_params(num_hashes, seed)
+    )
+    return f"array({parts})"
+
+
+def minhash_band_keys_sql(sig: str, bands: int, rows: int) -> str:
+    strs = f"transform({sig}, v -> cast(v as string))"
+    keys = ", ".join(
+        f"concat('b{i}:', md5(concat_ws('|', slice({strs}, {i * rows + 1}, {rows}))))"
+        for i in range(bands)
+    )
+    return f"array({keys})"
+
+
 def simhash64(shingle_col: Column, bits: int = 30) -> Column:
     """SimHash over shingles: per-bit majority vote of md5-derived int hashes.
     Convenience wrapper; hot paths pre-project shingle_int_hashes and call
