@@ -117,7 +117,11 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash→verify; ref alias-table blocking A2 src/baselines/olpeat/find_recall.py:76-91).
 
     The per-doc feature table is persisted: both self-join sides and the
-    verification join reuse it instead of recomputing the hash pass."""
+    verification join reuse it instead of recomputing the hash pass. The
+    VERIFIED pairs are persisted too (r6): er_clusters and er_survivors
+    derive from the identical pairs plan, so the CacheManager hands them the
+    materialized edge list instead of re-running the band self-join + exact
+    verification (the pairs table is tiny — O(near-dup pairs) rows)."""
     docs = _t(spark, sf_dir, "documents")
     feats = _doc_features(docs, with_bands=True).persist()
     blocks = _band_blocks(feats)
@@ -128,7 +132,7 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    return _verify_pairs(cand, feats)
+    return _verify_pairs(cand, feats).persist()
 
 
 # staged CTEs: the md5 pass (xs) is computed once, not once per permutation —
@@ -308,7 +312,12 @@ def q_er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking skew diagnostics per lang: blocks, max block size, pair fanout
     (the quantity salting bounds; north_rule skew handling)."""
     docs = _t(spark, sf_dir, "documents")
-    blocks = _doc_features(docs, with_lang=True, with_bands=True).selectExpr(
+    # bands from the SAME lang-free feature plan er_minhash_pairs persists —
+    # a broadcast doc_id→lang join replaces the with_lang=True recompute of
+    # the whole md5/minhash chain (cache hit when the pairs query ran first;
+    # identical per-doc bands either way, so the output is unchanged)
+    feats = _doc_features(docs, with_bands=True).persist()
+    blocks = feats.join(docs.select("doc_id", "lang"), "doc_id").selectExpr(
         "lang", "explode(bands) AS band_key"
     )
     per_block = blocks.groupBy("lang", "band_key").agg(F.count(F.lit(1)).alias("sz"))
@@ -333,7 +342,7 @@ def q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(
-        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, dim=EMB_DIM
     ).select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
@@ -343,7 +352,9 @@ def q_knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mel_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    topk = brute_force_topk(emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K)
+    topk = brute_force_topk(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, dim=EMB_DIM
+    )
     lbl = emb.select("vec_id", "label")
     hits = (
         topk.join(lbl.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")), "query_id")
@@ -469,7 +480,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mel_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    topk = brute_force_topk(emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K)
+    topk = brute_force_topk(
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, dim=EMB_DIM
+    )
     return hard_negative_pairs(
         topk.select("query_id", "neighbor_id", "rank"), emb.select("vec_id", "label")
     )
@@ -511,6 +524,7 @@ def q_centroid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         i_id="label",
         i_emb="centroid",
         exclude_self=False,
+        dim=EMB_DIM,
     )
     hits = top1.join(
         emb.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
@@ -683,17 +697,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_topn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-family 3-way join + group + exact top-10 (Q3-like)."""
+    """J-family 3-way join + group + exact top-10 (Q3-like).
+
+    Aggregate-before-the-exchange form (guide §2.3): lineitem revenue is
+    partially summed per orderkey BEFORE any join, so the big side's shuffle
+    carries one compact decimal row per order instead of every lineitem; the
+    customer-filtered orders then join the pre-aggregated side. Equivalent to
+    the join-then-aggregate oracle: decimal sums are exact (order-free), and
+    if a custkey ever matched k customers the outer sum multiplies the inner
+    sum by k exactly as the flat join duplicates each lineitem k times."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    rev_by_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(rev_by_order, o["o_orderkey"] == rev_by_order["l_orderkey"])
         .groupBy(F.col("o_orderkey").alias("orderkey"))
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )

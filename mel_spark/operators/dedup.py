@@ -265,11 +265,17 @@ def segment_dedup(
     ``line_mode=True`` segments on newlines (prose corpora); the default uses
     fixed ``seg_tokens``-token windows (continuous word streams).
 
-    Scale shape: one explode (~n_tokens/seg_tokens rows per doc), one
-    groupBy(segment) count — map-side partial aggregation absorbs the heavy
-    hitters (the exact segments being removed are by definition high-
-    frequency, i.e. the combiner's best case) — one re-join keyed on the
-    segment string, one groupBy(doc). No windows, no driver state.
+    Scale shape (guide §2.3 — shuffle keys/metadata, never the payload): one
+    explode + one groupBy(segment) count (map-side partial aggregation
+    absorbs the heavy hitters — the segments being removed are by definition
+    high-frequency, the combiner's best case), REDUCED to the duplicated
+    segments only; those join back to the exploded view to collect just the
+    duplicated POSITIONS per doc (a handful of ints). The document table is
+    never shuffled: the per-doc verdict re-derives the segment array from
+    the doc row and drops the flagged positions. The pre-r6 form instead
+    joined the FULL count table and regrouped every (pos, segment-string)
+    pair by doc — two exchanges carrying every segment string; this form's
+    exchanges carry segment strings once (the count) and ints after.
     """
     sep = "\n" if line_mode else " "
     seg_arr = (
@@ -280,22 +286,28 @@ def segment_dedup(
     segs = docs.select(
         F.col(id_col), F.posexplode(seg_arr).alias("pos", "seg")
     )
-    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("_c"))
-    joined = segs.join(counts, "seg")
-    kept = F.when(F.col("_c") < dup_k, F.struct("pos", "seg"))
+    dup_segs = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= dup_k)
+        .select("seg")
+    )
+    dup_pos = (
+        segs.join(dup_segs, "seg")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dup_pos"))
+    )
+    dp = F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>"))
+    kept = F.filter(seg_arr, lambda s, i: ~F.array_contains(dp, i))
     return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum((F.col("_c") >= dup_k).cast("int")).alias("n_dup_segments"),
-            F.array_sort(F.collect_list(kept)).alias("_kept"),
-        )
+        docs.join(dup_pos, id_col, "left")
+        # posexplode emits no rows for a null/empty segment array (null text),
+        # so such docs are absent from the grouped output — keep that contract
+        .filter(F.size(seg_arr) > 0)
         .select(
             id_col,
-            "n_segments",
-            "n_dup_segments",
-            F.md5(
-                F.array_join(F.transform("_kept", lambda s: s["seg"]), sep)
-            ).alias("clean_sha"),
+            F.size(seg_arr).cast("long").alias("n_segments"),
+            F.size(dp).cast("long").alias("n_dup_segments"),
+            F.md5(F.array_join(kept, sep)).alias("clean_sha"),
         )
     )

@@ -156,3 +156,37 @@ def test_survivor_selection_null_text_ranks_last(spark):
     rows = {r["cluster_id"]: r for r in survivor_selection(cl, docs).collect()}
     assert rows[100]["survivor_doc_id"] == 2  # empty beats NULL
     assert rows[200]["survivor_doc_id"] == 3
+
+
+def test_segment_dedup_matches_python_reference(spark):
+    """r6 internals change (duplicate-positions join instead of regrouping
+    every segment string): output must equal a brute-force Python reference
+    on a corpus with cross-doc dups, within-doc dups, and a short doc."""
+    import hashlib
+
+    texts = {
+        1: "a b c d e f g h i j k l m n o p",          # segs: [a..h], [i..p]
+        2: "a b c d e f g h q r s t u v w x",          # shares seg1 with doc 1
+        3: "a b c d e f g h a b c d e f g h",          # within-doc repeat
+        4: "z y x w",                                   # single short segment
+        5: "q r s t u v w x",                           # dup of doc 2's seg2
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(docs, "doc_id", "text", seg_tokens=8, dup_k=2).collect()
+    }
+
+    def segs_of(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
+
+    from collections import Counter
+
+    cnt = Counter(s for t in texts.values() for s in segs_of(t))
+    for did, t in texts.items():
+        ss = segs_of(t)
+        kept = [s for s in ss if cnt[s] < 2]
+        assert out[did]["n_segments"] == len(ss)
+        assert out[did]["n_dup_segments"] == sum(1 for s in ss if cnt[s] >= 2)
+        assert out[did]["clean_sha"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
