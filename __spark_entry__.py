@@ -49,46 +49,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ER family over `documents` (SURVEY §7.1; A1/A2/A8/J4 analogues)
 # ---------------------------------------------------------------------------
 
-def _doc_features(docs: DataFrame, with_lang: bool = False, with_bands: bool = False) -> DataFrame:
-    """(doc_id[, lang], xs, sig) via staged projections: the shingle build and
-    its single md5 pass each live in their own Project (CollapseProject will
-    not duplicate non-cheap expressions into the 32 permutation subtrees).
-    ``xs`` = sorted distinct md5-derived shingle ints — the jaccard
-    verification runs on these 8-byte values, never on shingle strings (the
-    md5 ints are cross-engine deterministic, so the oracle computes the same
-    sets). ``with_lang`` only when the caller groups by language — keeps the
-    scan column-pruned otherwise.
-
-    ``with_bands=True`` replaces ``sig`` with the LSH band-key array (its only
-    consumer) so a persisted feature table carries the band md5s already
-    computed — the band self-join's two Generate sides then just explode a
-    cached array instead of each re-hashing all 16 bands per doc (r6: the two
-    band-key passes were ~20 s of the 50 s core-time of er_minhash_pairs)."""
-    extra = ["lang"] if with_lang else []
-    # selectExpr with the *_sql builders: one SQL parse per stage instead of
-    # hundreds of py4j Column-construction roundtrips (~0.4 s per invocation
-    # measured); the parsed trees are the same Catalyst expressions
-    feats = (
-        docs.selectExpr("doc_id", *extra, f"{T.shingles_sql('text', SHINGLE_N)} AS sh")
-        .selectExpr("doc_id", *extra, f"{T.shingle_int_hashes_sql('sh')} AS xs")
-        .selectExpr(
-            "doc_id",
-            *extra,
-            "array_sort(array_distinct(xs)) AS xs",
-            f"{T.minhash_signature_from_ints_sql('xs', MH_HASHES)} AS sig",
-        )
-    )
-    if with_bands:
-        # staged select: band_keys references the sig COLUMN (not its
-        # expression), so the 32-permutation signature is not re-inlined into
-        # the 16 band subtrees
-        feats = feats.selectExpr(
-            "doc_id",
-            *extra,
-            "xs",
-            f"{T.minhash_band_keys_sql('sig', MH_BANDS, MH_ROWS)} AS bands",
-        )
-    return feats
+def _doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, xs, bands) via ONE Arrow batch kernel (text.doc_features_map,
+    guide §4.2): per-shingle md5 through hashlib, the 32 minhash permutations
+    and per-doc minima as flat NumPy passes, band md5s through hashlib.
+    Integer arithmetic + md5 only — exact cross-engine, so ``xs`` (sorted
+    distinct md5-derived shingle ints — the jaccard verification runs on
+    these, never on shingle strings) and the band equality classes are
+    bit-identical to the DuckDB oracle's expression chain (parity-asserted
+    by tests/test_er_kernel.py against the legacy Catalyst builders, which
+    measured 130 s task time / up to 79% GC per sf1.0 feature pass —
+    interpreted HOF allocation the kernel does not pay). Band keys are
+    17-byte binaries (index byte + md5 digest), a bijection of the oracle's
+    'b{i}:<hex>' strings — same classes, half the self-join shuffle bytes.
+    The kernel function is memoized per config, so every query build yields
+    the same serialized UDF and the CacheManager can substitute a persisted
+    feature table across queries."""
+    fn, schema = T.doc_features_map(SHINGLE_N, MH_HASHES, MH_BANDS)
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)
 
 
 def _band_blocks(feats: DataFrame) -> DataFrame:
@@ -123,7 +101,7 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized edge list instead of re-running the band self-join + exact
     verification (the pairs table is tiny — O(near-dup pairs) rows)."""
     docs = _t(spark, sf_dir, "documents")
-    feats = _doc_features(docs, with_bands=True).persist()
+    feats = _doc_features(docs).persist()
     blocks = _band_blocks(feats)
     cand = (
         blocks.alias("x")
@@ -214,37 +192,27 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     is_new = F.pmod(F.col("doc_id"), F.lit(10)) >= 7
-    feats = _doc_features(docs, with_bands=True).withColumn("_new", is_new).persist()
-    base_feats = feats.filter(~F.col("_new"))
 
     # ONE band self-join + ONE verification over all candidates, split
-    # afterwards by endpoint newness: base pairs (both endpoints old) and
-    # delta pairs (>= 1 new endpoint) partition the candidate set exactly as
-    # the separate base/new x all joins would — same sets, half the join work
-    blocks = feats.select(
-        "doc_id",
-        "_new",
-        F.explode("bands").alias("band_key"),
+    # afterwards by endpoint newness — and that one self-join IS
+    # _minhash_pairs_df's (r6): endpoint newness is a pure function of the
+    # pair ids (pmod(doc_id, 10)), so the split flag is recomputed from the
+    # verified (doc_id_a, doc_id_b) columns instead of being threaded through
+    # a SECOND band join + verification of the identical candidate set. Same
+    # sets, provably — and within a bench pass the pairs come straight out of
+    # the cache er_minhash_pairs populated.
+    verified = _minhash_pairs_df(spark, sf_dir).withColumn(
+        "_any_new",
+        (F.pmod(F.col("doc_id_a"), F.lit(10)) >= 7)
+        | (F.pmod(F.col("doc_id_b"), F.lit(10)) >= 7),
     )
-    cand = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), "band_key")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_id_a"),
-            F.col("y.doc_id").alias("doc_id_b"),
-            (F.col("x._new") | F.col("y._new")).alias("_any_new"),
-        )
-        .distinct()
-    )
-    verified = _verify_pairs(cand, feats).persist()
     base_pairs = verified.filter(~F.col("_any_new")).select("doc_id_a", "doc_id_b", "jaccard")
     delta_pairs = verified.filter("_any_new").select("doc_id_a", "doc_id_b", "jaccard")
 
     # base run: pairs among old docs only → transitive clusters → roots
     base_cc = connected_components(base_pairs, "doc_id_a", "doc_id_b")
     roots_old = attach_singletons(
-        base_cc, base_feats.select(F.col("doc_id").alias("mention_id"))
+        base_cc, docs.filter(~is_new).select(F.col("doc_id").alias("mention_id"))
     ).select(F.col("mention_id").alias("csid"), F.col("cluster_id").alias("root"))
 
     remap = merge_components(
@@ -258,7 +226,7 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_assign = roots_old.join(
         remap, roots_old["root"] == remap["_node"], "left"
     ).select(F.col("csid").alias("doc_id"), F.coalesce("_new_root", "root").alias("cluster_id"))
-    new_ids = feats.filter(F.col("_new")).select(F.col("doc_id"))
+    new_ids = docs.filter(is_new).select(F.col("doc_id"))
     new_assign = new_ids.join(remap, new_ids["doc_id"] == remap["_node"], "left").select(
         "doc_id", F.coalesce("_new_root", F.col("doc_id")).alias("cluster_id")
     )
@@ -316,7 +284,7 @@ def q_er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a broadcast doc_id→lang join replaces the with_lang=True recompute of
     # the whole md5/minhash chain (cache hit when the pairs query ran first;
     # identical per-doc bands either way, so the output is unchanged)
-    feats = _doc_features(docs, with_bands=True).persist()
+    feats = _doc_features(docs).persist()
     blocks = feats.join(docs.select("doc_id", "lang"), "doc_id").selectExpr(
         "lang", "explode(bands) AS band_key"
     )
@@ -342,7 +310,7 @@ def q_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(
-        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, dim=EMB_DIM
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K
     ).select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
@@ -353,7 +321,7 @@ def q_knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     topk = brute_force_topk(
-        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, dim=EMB_DIM
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K
     )
     lbl = emb.select("vec_id", "label")
     hits = (
@@ -481,7 +449,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     topk = brute_force_topk(
-        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K, dim=EMB_DIM
+        emb.filter(F.col("vec_id") < KNN_MAX_QID), emb, k=KNN_K
     )
     return hard_negative_pairs(
         topk.select("query_id", "neighbor_id", "rank"), emb.select("vec_id", "label")
@@ -524,7 +492,6 @@ def q_centroid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         i_id="label",
         i_emb="centroid",
         exclude_self=False,
-        dim=EMB_DIM,
     )
     hits = top1.join(
         emb.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
@@ -699,24 +666,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_topn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-family 3-way join + group + exact top-10 (Q3-like).
 
-    Aggregate-before-the-exchange form (guide §2.3): lineitem revenue is
-    partially summed per orderkey BEFORE any join, so the big side's shuffle
-    carries one compact decimal row per order instead of every lineitem; the
-    customer-filtered orders then join the pre-aggregated side. Equivalent to
-    the join-then-aggregate oracle: decimal sums are exact (order-free), and
-    if a custkey ever matched k customers the outer sum multiplies the inner
-    sum by k exactly as the flat join duplicates each lineitem k times."""
+    Join-then-aggregate deliberately: the aggregate-first rewrite (partial
+    revenue sum per orderkey before the join) was MEASURED SLOWER at sf1.0
+    (1.38 s → 2.58 s) — the ~1 group per 4 rows cardinality makes the
+    map-side combine nearly useless while adding a 1.5M-group hash
+    aggregation; the join's own exchange already hash-partitions by orderkey
+    so the post-join aggregation reuses it with no extra shuffle."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
-    rev_by_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(rev_by_order, o["o_orderkey"] == rev_by_order["l_orderkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy(F.col("o_orderkey").alias("orderkey"))
-        .agg(F.sum("_rev").cast("double").alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )

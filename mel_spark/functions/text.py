@@ -434,3 +434,131 @@ def distinct_token_ratio(text: Column | str) -> Column:
     return F.round(
         F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched ER feature kernel (r6, guide §4.2). The Catalyst form of the
+# md5-shingle → minhash → band chain is interpreted HOF work (zip/transform/
+# array_min are CodegenFallback) that allocates per element — measured 130 s
+# task time (up to 79% GC) for one sf1.0 feature pass. The same math as one
+# pandas batch kernel: per-shingle md5 via hashlib (C speed), the 32
+# permutations + per-doc minima as flat NumPy reduceat passes, band md5s via
+# hashlib. Every operation is integer arithmetic or md5 — EXACT cross-engine,
+# so the output is bit-identical to the Catalyst/DuckDB twins (asserted by
+# tests/test_er_kernel.py against the legacy expression chain).
+#
+# Band keys are emitted as 17-byte binary (1 index byte + the 16 md5 digest
+# bytes) instead of the 35-char 'b{i}:<hex>' string — a BIJECTION of the
+# oracle's key space (fixed-width concat of injective encodings), so band
+# equality classes — and therefore every downstream join/group result — are
+# unchanged while the self-join shuffles half the bytes. xs is int32 (values
+# are md5 ints mod 2^30 by construction).
+# ---------------------------------------------------------------------------
+
+_DOC_FEATURES_KERNELS: dict = {}
+
+
+def doc_features_map(shingle_n: int = 3, num_hashes: int = 32, bands: int = 16,
+                     seed: int = 42):
+    """(kernel, schema) for ``docs.select('doc_id','text').mapInPandas(...)``
+    → (doc_id long, xs array<int>, bands array<binary>). Memoized per config:
+    every invocation returns the SAME function object, so repeated query
+    builds produce cache-matching plans (InMemoryRelation substitution keys
+    on the serialized UDF)."""
+    key = (shingle_n, num_hashes, bands, seed)
+    if key in _DOC_FEATURES_KERNELS:
+        return _DOC_FEATURES_KERNELS[key]
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    params = _minhash_params(num_hashes, seed)
+    A = np.array([p[0] for p in params], dtype=np.int64).reshape(-1, 1)
+    B = np.array([p[1] for p in params], dtype=np.int64).reshape(-1, 1)
+    rows_per_band = num_hashes // bands
+    P = MINHASH_P
+    M = MINHASH_M
+    md5 = hashlib.md5
+    n1 = shingle_n - 1
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("xs", ArrayType(IntegerType())),
+            StructField("bands", ArrayType(BinaryType())),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            if not len(ids):
+                yield pd.DataFrame({"doc_id": [], "xs": [], "bands": []})
+                continue
+            xs_lists = []
+            join = " ".join
+            from_bytes = int.from_bytes
+            for t in pdf["text"].tolist():
+                if t is None:
+                    # Catalyst parity: split(NULL) → NULL tokens, m=1, and
+                    # concat_ws(' ', NULL slice) = '' → one empty shingle
+                    ss = {""}
+                else:
+                    toks = t.split(" ")
+                    if len(toks) > n1:
+                        # sliding n-grams via zip — same windows as
+                        # slice(toks, i, n) for i in 1..len-n+1
+                        ss = set(map(join, zip(*(toks[i:] for i in range(shingle_n)))))
+                    else:
+                        ss = {join(toks)}
+                # first 15 hex chars == top 60 bits of the digest:
+                # int(hexdigest[:15], 16) == int.from_bytes(digest[:8]) >> 4
+                xs_lists.append(
+                    np.fromiter(
+                        sorted({(from_bytes(md5(s.encode()).digest()[:8], "big") >> 4) % M for s in ss}),
+                        dtype=np.int64,
+                    )
+                )
+            lens = np.fromiter((len(x) for x in xs_lists), dtype=np.int64, count=len(xs_lists))
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            flat = np.concatenate(xs_lists)
+            perm = (A * flat[None, :] + B) % P                      # (H, total)
+            sig = np.stack(
+                [np.minimum.reduceat(perm[j], offsets) for j in range(num_hashes)],
+                axis=1,
+            )                                                        # (n, H)
+            bands_col = []
+            prefixes = [bytes([bi]) for bi in range(bands)]
+            joinp = "|".join
+            for r in range(len(ids)):
+                s = sig[r].tolist()
+                bands_col.append(
+                    [
+                        prefixes[bi]
+                        + md5(
+                            joinp(map(str, s[bi * rows_per_band : (bi + 1) * rows_per_band])).encode()
+                        ).digest()
+                        for bi in range(bands)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "xs": [x.astype(np.int32) for x in xs_lists],
+                    "bands": bands_col,
+                }
+            )
+
+    _DOC_FEATURES_KERNELS[key] = (kernel, schema)
+    return _DOC_FEATURES_KERNELS[key]

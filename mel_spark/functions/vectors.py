@@ -29,23 +29,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Dot product for arrays of EXACTLY ``dim`` elements, as an unrolled
-    chain of codegen-able scalar expressions: ((0.0 + a1*b1) + a2*b2) + ...
-    — the same left-fold association and operand order as :func:`dot`, so the
-    IEEE double result is bit-identical, but whole-stage codegen applies
-    (higher-order functions like ``aggregate``/``zip_with`` are interpreted
-    CodegenFallback nodes, and the fold also allocates a zipped array per
-    pair). On the brute-force kNN cross join this is the per-PAIR expression,
-    so it dominates the stage. Arrays shorter than ``dim`` yield NULL (the
-    fold form would yield a partial sum) — callers pass the known embedding
-    dim."""
-    acc = F.lit(0.0)
-    for j in range(1, dim + 1):
-        acc = acc + F.element_at(a, j).cast("double") * F.element_at(b, j).cast("double")
-    return acc
-
-
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(

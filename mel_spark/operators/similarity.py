@@ -132,14 +132,11 @@ def brute_force_topk(
     i_id: str = "vec_id",
     i_emb: str = "embedding",
     exclude_self: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, cos, rank). Ties broken
     by neighbor id (deterministic). ``exclude_self`` drops id-equal matches
     (turn it OFF when query and index id spaces differ, e.g. retrieving
-    against an entity-centroid index). ``dim``, when the embedding width is
-    known, switches the per-pair dot to the unrolled codegen form
-    (V.dot_fixed — bit-identical fold, no interpreted HOF per pair)."""
+    against an entity-centroid index)."""
     # accept either emb storage — fp16-packed binary (the embed checkpoint's
     # default) or array<float>; no-op for arrays
     queries = V.ensure_emb_array(queries, q_emb)
@@ -161,13 +158,9 @@ def brute_force_topk(
     scored = q.crossJoin(i)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    dot_ = (
-        V.dot_fixed(F.col("q_emb"), F.col("i_emb"), dim)
-        if dim
-        else V.dot(F.col("q_emb"), F.col("i_emb"))
-    )
     scored = scored.withColumn(
-        "cos", F.round(dot_ / (F.col("_qn") * F.col("_in")), 6)
+        "cos",
+        F.round(V.dot(F.col("q_emb"), F.col("i_emb")) / (F.col("_qn") * F.col("_in")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

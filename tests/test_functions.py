@@ -396,37 +396,3 @@ def test_featurize_kernel_chunking_matches_per_doc_reference():
         ]
         assert list(got_bands[d]) == bk, d
 
-
-def test_dot_fixed_bit_identical_to_fold(spark):
-    """V.dot_fixed (unrolled codegen form) must reproduce the HOF left-fold
-    dot bit-for-bit — same association, same operand order — across random
-    float vectors including denormals-adjacent small values."""
-    import random
-
-    from pyspark.sql import functions as F
-
-    from mel_spark.functions import vectors as V
-
-    rng = random.Random(7)
-    dim = 64
-    rows = [
-        (
-            i,
-            [rng.uniform(-1, 1) * (10 ** rng.randint(-6, 2)) for _ in range(dim)],
-            [rng.uniform(-1, 1) * (10 ** rng.randint(-6, 2)) for _ in range(dim)],
-        )
-        for i in range(200)
-    ]
-    df = spark.createDataFrame(rows, ["i", "a", "b"]).select(
-        "i",
-        F.col("a").cast("array<float>").alias("a"),
-        F.col("b").cast("array<float>").alias("b"),
-    )
-    got = df.select(
-        V.dot(F.col("a"), F.col("b")).alias("fold"),
-        V.dot_fixed(F.col("a"), F.col("b"), dim).alias("unrolled"),
-    ).collect()
-    import struct
-
-    for r in got:
-        assert struct.pack("<d", r["fold"]) == struct.pack("<d", r["unrolled"])
