@@ -49,6 +49,39 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _fingerprint_and_star_test(edges: DataFrame) -> tuple[tuple[int, int], bool]:
+    """One aggregation job returning (fingerprint, is_min_rooted_star_forest).
+
+    The fixpoints of the alternating large-star/small-star operator are
+    exactly the min-rooted star forests (Kiveris et al. §3), and small-star
+    output is always oriented root-ward (v < u, u != v by construction), so
+    a round's output is final iff:
+      * every u occurs exactly once   (n == countDistinct(u)), and
+      * members and roots are disjoint (countDistinct(u) + countDistinct(v)
+        == countDistinct over u ∪ v).
+    Testing this on the SAME scan as the fingerprint lets the loop stop at
+    the round that PRODUCED the fixpoint instead of running one more full
+    LS∘SS round to observe an unchanged fingerprint (pre-r6 behavior, kept
+    as the fallback stop). The fingerprint values are bit-identical to
+    _fp_exprs (side='u' rows contribute exactly one (u,v) hash per edge), so
+    persisted _CC_STATE fingerprints stay comparable."""
+    frame = edges.selectExpr(
+        "explode(array(struct('u' AS side, u AS node, u, v),"
+        "              struct('v' AS side, v AS node, u, v))) AS x"
+    ).select("x.*")
+    row = frame.select(
+        F.count(F.when(F.col("side") == "u", 1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.when(F.col("side") == "u", F.xxhash64("u", "v"))), F.lit(0)
+        ).alias("h"),
+        F.count_distinct(F.when(F.col("side") == "u", F.col("node"))).alias("cd_u"),
+        F.count_distinct(F.when(F.col("side") == "v", F.col("node"))).alias("cd_v"),
+        F.count_distinct(F.col("node")).alias("cd_all"),
+    ).first()
+    star = (row["n"] == row["cd_u"]) and (row["cd_u"] + row["cd_v"] == row["cd_all"])
+    return (int(row["n"]), int(row["h"])), star
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: m = min(neighbors ∪ {u}); connect strictly-greater
     neighbors to m. Input/output: canonical undirected edge list (u, v).
@@ -202,14 +235,21 @@ def connected_components(
         durable = bool(checkpoint_dir) and (it + 1) % max(durable_every, 1) == 0
         if durable:
             edges, fp = _write_durable(it, edges)
+            # the Observation fp cannot carry count-distincts; run the star
+            # test as its own small job on the just-written round
+            _, star = _fingerprint_and_star_test(edges)
+            converged = star or fp == prev_fp
         else:
             # ONE job per star round: the lazy local checkpoint persists its
             # partitions while the fingerprint aggregation scans them (the
             # eager + separate-fingerprint form paid two jobs per round — a
-            # fixed floor the 4×-parallel leg cannot amortize)
+            # fixed floor the 4×-parallel leg cannot amortize). The same scan
+            # evaluates the star-forest fixpoint test, stopping at the round
+            # that PRODUCED the final edge set instead of paying one more
+            # LS∘SS round for an unchanged fingerprint.
             edges = edges.localCheckpoint(eager=False)
-            fp = _fingerprint(edges)
-        converged = fp == prev_fp
+            fp, star = _fingerprint_and_star_test(edges)
+            converged = star or fp == prev_fp
         if checkpoint_dir:
             if converged and not durable:
                 # the final edge set must be durable for crash-after-

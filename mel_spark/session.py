@@ -102,6 +102,16 @@ def get_spark(
     local_dir = os.environ.get("MEL_SPARK_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # opt-in event logging for profiling runs (tools/evlog_stages.py); off by
+    # default — the log write adds driver work
+    evlog = os.environ.get("MEL_SPARK_EVLOG")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evlog)
+            .config("spark.eventLog.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
