@@ -82,6 +82,57 @@ def _fingerprint_and_star_test(edges: DataFrame) -> tuple[tuple[int, int], bool]
     return (int(row["n"]), int(row["h"])), star
 
 
+TINY_GRAPH_BYTES = 16 << 20
+TINY_GRAPH_SHUFFLE_PARTITIONS = 8
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan — a DRIVER-side lookup,
+    no job. Cached inputs report their actual materialized bytes; scans
+    report file sizes; unknown plans default to a huge sentinel, so callers
+    treating 'small' as an optimization opportunity fail safe (big)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge
+        return 1 << 62
+
+
+class _tiny_graph_mode:
+    """While active, turn OFF adaptive execution and pin a small static
+    shuffle-partition count. Rationale (guide §1.2/§2): each AQE query stage
+    of an iterative round is materialized as its OWN mini-job with driver
+    re-planning between stages — for a star round over a few thousand edges
+    that is ~8 sequential jobs of pure scheduling latency (measured: the
+    whole er_incremental fold spends ~4 s in ~25 such jobs at sf1.0 while
+    its final count takes 0.5 s). A tiny round needs neither AQE's runtime
+    coalescing nor skew splitting; a single static-plan job runs the same
+    shuffles back-to-back inside one DAG. Entered ONLY when Catalyst stats
+    bound the edge set below TINY_GRAPH_BYTES — unknown or large inputs
+    keep AQE (its skew handling is load-bearing at scale). Session-wide
+    conf flip (Spark has no per-query conf): restored on exit; concurrent
+    same-session queries planned in the window would also run static."""
+
+    def __init__(self, spark, enabled: bool):
+        self.spark = spark
+        self.enabled = enabled
+
+    def __enter__(self):
+        if not self.enabled:
+            return self
+        conf = self.spark.conf
+        self._aqe = conf.get("spark.sql.adaptive.enabled")
+        self._sp = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(TINY_GRAPH_SHUFFLE_PARTITIONS))
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe)
+            self.spark.conf.set("spark.sql.shuffle.partitions", self._sp)
+        return False
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: m = min(neighbors ∪ {u}); connect strictly-greater
     neighbors to m. Input/output: canonical undirected edge list (u, v).
@@ -228,38 +279,42 @@ def connected_components(
             )
         _os.replace(tmp, state_path)  # atomic: round is resumable
 
-    for it in range(start_iter, max_iterations):
-        if converged:
-            break
-        edges = _small_star(_large_star(edges))
-        durable = bool(checkpoint_dir) and (it + 1) % max(durable_every, 1) == 0
-        if durable:
-            edges, fp = _write_durable(it, edges)
-            # the Observation fp cannot carry count-distincts; run the star
-            # test as its own small job on the just-written round
-            _, star = _fingerprint_and_star_test(edges)
-            converged = star or fp == prev_fp
-        else:
-            # ONE job per star round: the lazy local checkpoint persists its
-            # partitions while the fingerprint aggregation scans them (the
-            # eager + separate-fingerprint form paid two jobs per round — a
-            # fixed floor the 4×-parallel leg cannot amortize). The same scan
-            # evaluates the star-forest fixpoint test, stopping at the round
-            # that PRODUCED the final edge set instead of paying one more
-            # LS∘SS round for an unchanged fingerprint.
-            edges = edges.localCheckpoint(eager=False)
-            fp, star = _fingerprint_and_star_test(edges)
-            converged = star or fp == prev_fp
-        if checkpoint_dir:
-            if converged and not durable:
-                # the final edge set must be durable for crash-after-
-                # convergence resume, whatever the cadence (edges are already
-                # persisted, so this re-writes cached partitions, no recompute)
-                edges, fp = _write_durable(it, edges)
-                durable = True
+    tiny = _plan_size_bytes(edges) <= TINY_GRAPH_BYTES
+    with _tiny_graph_mode(spark, tiny):
+        for it in range(start_iter, max_iterations):
+            if converged:
+                break
+            edges = _small_star(_large_star(edges))
+            durable = bool(checkpoint_dir) and (it + 1) % max(durable_every, 1) == 0
             if durable:
-                _write_state(it, fp, converged)
-        prev_fp = fp
+                edges, fp = _write_durable(it, edges)
+                # the Observation fp cannot carry count-distincts; run the
+                # star test as its own small job on the just-written round
+                _, star = _fingerprint_and_star_test(edges)
+                converged = star or fp == prev_fp
+            else:
+                # ONE job per star round: the lazy local checkpoint persists
+                # its partitions while the fingerprint aggregation scans them
+                # (the eager + separate-fingerprint form paid two jobs per
+                # round — a fixed floor the 4×-parallel leg cannot amortize).
+                # The same scan evaluates the star-forest fixpoint test,
+                # stopping at the round that PRODUCED the final edge set
+                # instead of paying one more LS∘SS round for an unchanged
+                # fingerprint.
+                edges = edges.localCheckpoint(eager=False)
+                fp, star = _fingerprint_and_star_test(edges)
+                converged = star or fp == prev_fp
+            if checkpoint_dir:
+                if converged and not durable:
+                    # the final edge set must be durable for crash-after-
+                    # convergence resume, whatever the cadence (edges are
+                    # already persisted, so this re-writes cached partitions,
+                    # no recompute)
+                    edges, fp = _write_durable(it, edges)
+                    durable = True
+                if durable:
+                    _write_state(it, fp, converged)
+            prev_fp = fp
     if not converged:
         # non-converged output may violate the "cluster_id = min member,
         # transitive" contract — surface it instead of failing silently
