@@ -170,6 +170,15 @@ def embedding_near_dup_pairs(
         blocks = hyperplane_blocks(
             e, "doc_id", "emb", dim=dim, n_planes=n_planes, bands=bands, seed=seed
         )
+        from mel_spark.operators.cluster import _plan_size_bytes
+
+        if _plan_size_bytes(docs) <= 256 << 20:
+            # both self-join sides re-derive the hyperplane keys (the
+            # literal-unrolled plane dots are the query's heaviest
+            # projection); for small inputs cache them once. Gated on scan
+            # statistics: at production scale the blocks table is too big to
+            # pin and the recompute is the cheaper trade.
+            blocks = blocks.persist()
         a = blocks.select("block_key", F.col("mention_id").alias("doc_id_a"))
         b = blocks.select("block_key", F.col("mention_id").alias("doc_id_b"))
         cand = (
@@ -178,12 +187,26 @@ def embedding_near_dup_pairs(
             .select("doc_id_a", "doc_id_b")
             .distinct()
         )
+    # norms are per-ROW quantities — hoisting them out of the candidate join
+    # computes each once instead of once per PAIR (identical IEEE arithmetic,
+    # so cos is bit-identical; the per-pair work drops to just the dot)
     joined = (
-        cand.join(e.select(F.col("doc_id").alias("doc_id_a"), F.col("emb").alias("emb_a")), "doc_id_a")
-        .join(e.select(F.col("doc_id").alias("doc_id_b"), F.col("emb").alias("emb_b")), "doc_id_b")
+        cand.join(
+            e.select(F.col("doc_id").alias("doc_id_a"), F.col("emb").alias("emb_a"),
+                     V.l2_norm(F.col("emb")).alias("_na")),
+            "doc_id_a",
+        )
+        .join(
+            e.select(F.col("doc_id").alias("doc_id_b"), F.col("emb").alias("emb_b"),
+                     V.l2_norm(F.col("emb")).alias("_nb")),
+            "doc_id_b",
+        )
     )
     return (
-        joined.withColumn("cos", V.cosine(F.col("emb_a"), F.col("emb_b")))
+        joined.withColumn(
+            "cos",
+            F.round(V.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("_na") * F.col("_nb")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select("doc_id_a", "doc_id_b", "cos")
     )

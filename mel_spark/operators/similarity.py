@@ -581,10 +581,16 @@ def ivf_topk(
     scored = (
         cand.join(q_side, "query_id")
         .join(
-            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb")),
+            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb"),
+                         V.l2_norm(F.col(i_emb)).alias("_in")),
             "neighbor_id",
         )
-        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+        # per-ROW norms hoisted out of the join — bit-identical cosine
+        .withColumn(
+            "cos",
+            F.round(V.dot(F.col("q_emb"), F.col("i_emb"))
+                    / (V.l2_norm(F.col("q_emb")) * F.col("_in")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -650,15 +656,27 @@ def fit_ivf_centroids_relational(
     for _ in range(iterations):
         members = _ivf_assign_relational(vecs_i, cents, "_mid")
         cents = _ivf_update_relational(vecs_i, members)
-    return cents
+    # n_cells rows — persist unconditionally: the fitted centroids feed two
+    # to three consumers (index assignment, query probing, persisted-index
+    # build), each of which would otherwise re-execute the whole Lloyd chain
+    # (every iteration = a crossJoin over the index + decimal update aggs)
+    return cents.persist()
 
 
 def _ivf_assign_relational(vecs: DataFrame, cents: DataFrame, id_out: str) -> DataFrame:
     """(id_out, cell): nearest centroid by cosine (ties → lowest cell), as a
     broadcast nested-loop join + partial-aggregatable max_by — the relational
     form of 'broadcast the (cells × d) matrix and matmul'."""
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos", V.cosine(F.col("_emb"), F.col("cent"))
+    # per-ROW norms hoisted before the cross join: each vector norm is
+    # computed once instead of once per (vector, centroid) pair — identical
+    # IEEE arithmetic, so assignments (and the oracle hash) are unchanged
+    scored = (
+        vecs.withColumn("_vn", V.l2_norm(F.col("_emb")))
+        .crossJoin(F.broadcast(cents.withColumn("_cn", V.l2_norm(F.col("cent")))))
+        .withColumn(
+            "_cos",
+            F.round(V.dot(F.col("_emb"), F.col("cent")) / (F.col("_vn") * F.col("_cn")), 6),
+        )
     )
     return scored.groupBy(F.col("_id").alias(id_out)).agg(
         F.max_by(
@@ -767,10 +785,16 @@ def ivf_topk_relational(
     scored = (
         cand.join(q_side, "query_id")
         .join(
-            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb")),
+            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb"),
+                         V.l2_norm(F.col(i_emb)).alias("_in")),
             "neighbor_id",
         )
-        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+        # per-ROW norms hoisted out of the join — bit-identical cosine
+        .withColumn(
+            "cos",
+            F.round(V.dot(F.col("q_emb"), F.col("i_emb"))
+                    / (V.l2_norm(F.col("q_emb")) * F.col("_in")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -824,16 +848,23 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # per-ROW norms hoisted out of the candidate join (identical IEEE
+    # arithmetic, computed once per row instead of once per pair)
     scored = (
         cand.join(
-            queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb")),
+            queries.select(F.col(q_id).alias("query_id"), F.col(q_emb).alias("q_emb"),
+                           V.l2_norm(F.col(q_emb)).alias("_qn")),
             "query_id",
         )
         .join(
-            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb")),
+            index.select(F.col(i_id).alias("neighbor_id"), F.col(i_emb).alias("i_emb"),
+                         V.l2_norm(F.col(i_emb)).alias("_in")),
             "neighbor_id",
         )
-        .withColumn("cos", V.cosine(F.col("q_emb"), F.col("i_emb")))
+        .withColumn(
+            "cos",
+            F.round(V.dot(F.col("q_emb"), F.col("i_emb")) / (F.col("_qn") * F.col("_in")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
