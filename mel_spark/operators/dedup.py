@@ -321,7 +321,7 @@ def segment_dedup(
         .agg(F.collect_list("pos").alias("_dup_pos"))
     )
     dp = F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>"))
-    kept = F.filter(seg_arr, lambda s, i: ~F.array_contains(dp, i))
+    kept = F.filter(F.col("_segs"), lambda s, i: ~F.array_contains(dp, i))
     return (
         # posexplode emits no rows for a null segment array (null text), so
         # such docs are absent from the grouped output — keep that contract.
@@ -330,11 +330,15 @@ def segment_dedup(
         # a filter referencing the segment expression is predicate-pushed
         # below the scan-parallelism Exchange and re-derives every segment at
         # file-split parallelism (measured 1.9 s -> 5.3 s at sf1.0).
+        # The segment array is STAGED through its own projection — it has
+        # three consumers below and CollapseProject keeps a non-cheap alias
+        # with multiple references staged instead of re-inlining it.
         docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), seg_arr.alias("_segs"))
         .join(dup_pos, id_col, "left")
         .select(
             id_col,
-            F.size(seg_arr).cast("long").alias("n_segments"),
+            F.size("_segs").cast("long").alias("n_segments"),
             F.size(dp).cast("long").alias("n_dup_segments"),
             F.md5(F.array_join(kept, sep)).alias("clean_sha"),
         )
