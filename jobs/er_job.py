@@ -46,9 +46,13 @@ def _maintain_ann_index(spark, ckpt_dir: str, index_path: str) -> dict:
     try:
         read_index_meta(index_path)
     except FileNotFoundError:
+        # first build: the embed chain already CONTAINS this fold's delta, so
+        # record this fold's token as epoch 0's — a replayed fold's append of
+        # the same delta is then a committed no-op instead of a duplicate
         feats_all = read_stage_chain(spark, ckpt_dir, "embed")
         return ensure_ivf_index(
-            feats_all.select("csid", "emb"), index_path, i_id="csid", i_emb="emb"
+            feats_all.select("csid", "emb"), index_path, i_id="csid",
+            i_emb="emb", token=_os.path.abspath(ckpt_dir),
         )
     delta = CheckpointManager(ckpt_dir).read("embed_delta", spark)
     meta = append_to_ivf_index(

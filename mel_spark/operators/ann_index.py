@@ -101,7 +101,9 @@ def read_index_meta(path: str) -> dict:
     if meta.get("version") != META_VERSION:
         raise ValueError(
             f"ivf index at {path!r} has version {meta.get('version')!r}, "
-            f"expected {META_VERSION}"
+            f"expected {META_VERSION} — this layout has no in-place "
+            "migration; rebuild the index with build_ivf_index (or point at "
+            "a fresh path)"
         )
     return meta
 
@@ -118,8 +120,15 @@ def build_ivf_index(
     emb_format: str = "f16",
     max_per_key: int | None = None,
     key_col: str | None = None,
+    token: str | None = None,
 ) -> dict:
     """Fit and persist an IVF index under ``path``; returns the meta dict.
+
+    ``token``: optional idempotency key recorded as epoch 0's token. When a
+    FOLD builds the index from a chain that already contains its own delta,
+    stamping the fold's token here makes the replayed fold's
+    ``append_to_ivf_index(..., token=...)`` a committed no-op instead of
+    duplicating the delta (the crash-between-build-and-head-advance case).
 
     ``max_per_key``/``key_col`` is the reference's ``max_per_qid`` load cap
     (index.py:34-58): keep at most ``max_per_key`` vectors per ``key_col``
@@ -208,6 +217,8 @@ def build_ivf_index(
         "max_per_key": max_per_key,
         "key_col": key_col,
     }
+    if token is not None:
+        meta["epoch_tokens"] = {"0": token}
     _commit_meta(path, meta)
     return meta
 

@@ -100,6 +100,9 @@ def _prep_index(ids: np.ndarray, embs: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return ids, np.ascontiguousarray(embs / norms, dtype=np.float32)
 
 
+_INDEX_CACHE_MAX_ENTRIES = 4
+
+
 def _load_index_cached(path: str, id_col: str, emb_col: str) -> tuple[np.ndarray, np.ndarray]:
     key = (path, id_col, emb_col, _index_content_token(path))
     if key not in _INDEX_CACHE:
@@ -107,6 +110,12 @@ def _load_index_cached(path: str, id_col: str, emb_col: str) -> tuple[np.ndarray
         # accumulate dead indexes
         for k in [k for k in _INDEX_CACHE if k[:3] == (path, id_col, emb_col)]:
             del _INDEX_CACHE[k]
+        # and bound the cache by entry count regardless of path churn —
+        # distinct scratch paths would otherwise pin O(index) worker memory
+        # each for the worker process lifetime (dicts iterate in insertion
+        # order, so this evicts oldest-first)
+        while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX_ENTRIES:
+            del _INDEX_CACHE[next(iter(_INDEX_CACHE))]
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(path, columns=[id_col, emb_col])
@@ -242,12 +251,21 @@ def broadcast_knn(
 
         logger = _logging.getLogger(__name__)
         base = spark.conf.get("spark.mel.scratchDir", None)
-        if base:
-            import uuid as _uuid
+        # DETERMINISTIC scratch path per index plan (canonicalized analyzed
+        # plan → exprIds normalized, so the same logical index maps to the
+        # same directory across calls): repeated invocations — e.g. one per
+        # streaming fold — overwrite one directory instead of growing an
+        # unbounded set of uuid dirs, and the content fingerprint in the
+        # worker cache key evicts the superseded version of the same path.
+        import hashlib as _hashlib
 
-            scratch = _os.path.join(base, f"knn_index_{_uuid.uuid4().hex[:12]}")
+        sem = _hashlib.md5(
+            index._jdf.queryExecution().analyzed().canonicalized().toString().encode()
+        ).hexdigest()[:12]
+        if base:
+            scratch = _os.path.join(base, f"knn_index_{sem}")
         else:
-            scratch = _tempfile.mkdtemp(prefix="mel_knn_index_")
+            scratch = _os.path.join(_tempfile.gettempdir(), f"mel_knn_index_{sem}")
         logger.info(
             "broadcast_knn: no index_path given — spilling %d-row index to %s "
             "for executor-side loading (pass index_path, e.g. the embed "

@@ -207,8 +207,15 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
         )
         from mel_spark.sources.checkpoint import CheckpointManager as _AnnMgr
 
+        # the try covers ONLY the meta read: a FileNotFoundError raised
+        # inside the append itself (e.g. a concurrent rebuild removing _META)
+        # must propagate, not silently skip the fold's delta
         try:
             read_index_meta(state.ann_index_path)
+            index_exists = True
+        except FileNotFoundError:
+            index_exists = False
+        if index_exists:
             append_to_ivf_index(
                 _AnnMgr(fold_dir).read("embed_delta", spark).select("csid", "emb"),
                 state.ann_index_path,
@@ -216,12 +223,15 @@ def fold_micro_batch(state: StreamingFoldState, batch: DataFrame, epoch_id: int)
                 i_emb="emb",
                 token=fold_dir,
             )
-        except FileNotFoundError:
+        else:
+            # first build from the chain that already contains this fold's
+            # delta — stamp this fold's token so a replayed append no-ops
             ensure_ivf_index(
                 read_stage_chain(spark, fold_dir, "embed").select("csid", "emb"),
                 state.ann_index_path,
                 i_id="csid",
                 i_emb="emb",
+                token=fold_dir,
             )
     state._advance(fold_dir)
     cadence_hit = state.compact_every and state.total_folds % state.compact_every == 0

@@ -413,3 +413,31 @@ def test_ensure_and_token_idempotency(spark, emb_df, queries, tmp_path):
     assert _rows(ivf_index_topk(spark, queries, p, k=K, nprobe=NPROBE)) == before
     lists = spark.read.parquet(os.path.join(p, "lists"))
     assert lists.count() == emb_df.count()  # not doubled
+
+
+def test_first_build_token_makes_replayed_append_a_noop(spark, tmp_path):
+    """r6 ADVICE fix: a fold that BUILDS the index from a chain already
+    containing its own delta records its token as epoch 0's — a crash-replay
+    of the same fold then appends the same delta with the same token and
+    must be a committed no-op (no duplicated ids, no new epoch)."""
+    from pyspark.sql import functions as F
+
+    from mel_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        read_index_meta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "idx")
+    build_ivf_index(
+        emb, d, n_cells=4, iterations=1, seed=42, fit="relational",
+        emb_format="f32", token="fold-epoch-0",
+    )
+    m0 = read_index_meta(d)
+    assert m0["epoch_tokens"] == {"0": "fold-epoch-0"}
+    # replayed fold: same delta (here: a subset of the built rows), same token
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    m1 = append_to_ivf_index(delta, d, token="fold-epoch-0")
+    assert m1["epochs"] == m0["epochs"]            # no new epoch
+    assert m1["rows"] == m0["rows"]                # no duplicated ids
