@@ -38,10 +38,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
         # the per-row-compute-heavy tables: hashing/scoring must not serialize
-        # on a single scan split when the file is small (no-op at scale)
+        # on a single scan split when the file is small (no-op at scale);
+        # cache_key memoizes the split-count probe for this static path
         from mel_spark.session import ensure_scan_parallelism
 
-        df = ensure_scan_parallelism(df)
+        df = ensure_scan_parallelism(df, cache_key=f"{sf_dir}/{name}.parquet")
     return df
 
 

@@ -117,7 +117,11 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def ensure_scan_parallelism(df, min_partitions: int | None = None):
+_SCAN_SPLITS_CACHE: dict[tuple, int] = {}
+
+
+def ensure_scan_parallelism(df, min_partitions: int | None = None,
+                            cache_key: str | None = None):
     """Repartition a scan that yields fewer splits than the session's core
     count — a small parquet file is one split, so every downstream per-row
     computation (md5 shingling, cosine scoring) otherwise runs on ONE core no
@@ -126,9 +130,22 @@ def ensure_scan_parallelism(df, min_partitions: int | None = None):
     Exchange where the input is big — it only ever moves a small input
     (measured at sf0.1: the 0.6 MB documents scan + round-robin shuffle costs
     ~0.1 s and the md5 feature pass drops 2.6 s → 1.1 s on local[32]).
-    Partition-placement-agnostic consumers only (aggregations, joins)."""
+    Partition-placement-agnostic consumers only (aggregations, joins).
+
+    ``cache_key`` (e.g. the parquet path): memoize the split-count probe —
+    ``df.rdd.getNumPartitions()`` pays a full physical-planning py4j
+    round-trip (~0.17 s measured), and repeated query builds over the same
+    static input re-derive the same number. Process-local; pass it only for
+    inputs that do not change within the process lifetime."""
     spark = df.sparkSession
     want = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    if cache_key is not None:
+        key = (cache_key, want)
+        n = _SCAN_SPLITS_CACHE.get(key)
+        if n is None:
+            n = _SCAN_SPLITS_CACHE[key] = df.rdd.getNumPartitions()
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < want:
         return df.repartition(want)
     return df
