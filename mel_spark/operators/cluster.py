@@ -216,10 +216,15 @@ def connected_components(
     import os as _os
 
     spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    # NO input distinct (r6): duplicate edges are harmless to every consumer
+    # — round 0's star steps are min-aggregations (duplicate-insensitive)
+    # and small-star closes with its own distinct, so round outputs (and
+    # therefore fingerprints, the star test, and the final members/roots)
+    # are identical either way; the dedup was a full extra exchange inside
+    # every round-0 job. Self-loops must still drop (a u==u edge would fake
+    # an edge row for a singleton).
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
     start_iter = 0
     prev_fp = None
