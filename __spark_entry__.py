@@ -155,7 +155,9 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = _minhash_pairs_df(spark, sf_dir)
     cc = connected_components(pairs, "doc_id_a", "doc_id_b")
-    return attach_singletons(cc, docs.select(F.col("doc_id").alias("mention_id"))).select(
+    return attach_singletons(
+        cc, docs.select(F.col("doc_id").alias("mention_id")), ids_unique=True
+    ).select(
         F.col("mention_id").alias("doc_id"), F.col("cluster_id").cast("long").alias("cluster_id")
     )
 
@@ -213,7 +215,8 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base run: pairs among old docs only → transitive clusters → roots
     base_cc = connected_components(base_pairs, "doc_id_a", "doc_id_b")
     roots_old = attach_singletons(
-        base_cc, docs.filter(~is_new).select(F.col("doc_id").alias("mention_id"))
+        base_cc, docs.filter(~is_new).select(F.col("doc_id").alias("mention_id")),
+        ids_unique=True,
     ).select(F.col("mention_id").alias("csid"), F.col("cluster_id").alias("root"))
 
     remap = merge_components(
@@ -673,14 +676,26 @@ def q_join_topn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine nearly useless while adding a 1.5M-group hash
     aggregation; the join's own exchange already hash-partitions by orderkey
     so the post-join aggregation reuses it with no extra shuffle."""
+    from mel_spark.operators.cluster import _plan_size_bytes
+
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    sel = c.join(o, c["c_custkey"] == o["o_custkey"])
+    # The static planner estimates the customer⋈orders output as huge (join
+    # selectivity unknown), picks sort-merge, and pays the full lineitem
+    # exchange — AQE's runtime BHJ conversion comes too late to skip the big
+    # side's shuffle WRITE. When parquet statistics bound the build inputs
+    # (scan stats are accurate pre-join), hint the broadcast so lineitem is
+    # never shuffled; at production scale the gate never fires and the
+    # planner keeps sort-merge + AQE skew handling. Results identical —
+    # decimal sums are exact and join output is the same row multiset.
+    if _plan_size_bytes(o) + _plan_size_bytes(c) <= 64 << 20:
+        sel = F.broadcast(sel)
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        sel.join(li, F.col("o_orderkey") == li["l_orderkey"])
         .groupBy(F.col("o_orderkey").alias("orderkey"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))

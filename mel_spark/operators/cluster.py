@@ -334,12 +334,17 @@ def connected_components(
     return members.union(roots).groupBy("mention_id").agg(F.min("cluster_id").alias("cluster_id"))
 
 
-def attach_singletons(clusters: DataFrame, all_ids: DataFrame, id_col: str = "mention_id") -> DataFrame:
+def attach_singletons(clusters: DataFrame, all_ids: DataFrame, id_col: str = "mention_id",
+                      ids_unique: bool = False) -> DataFrame:
     """Left-join cluster assignment onto the full id set; unmatched ids become
-    their own singleton clusters."""
+    their own singleton clusters. ``ids_unique=True`` skips the defensive
+    dedup exchange when the caller's id set is a key column already (the
+    contract queries pass document tables keyed by doc_id)."""
+    ids = all_ids.select(F.col(id_col).alias("mention_id"))
+    if not ids_unique:
+        ids = ids.distinct()
     return (
-        all_ids.select(F.col(id_col).alias("mention_id"))
-        .distinct()
+        ids
         .join(clusters, "mention_id", "left")
         .select(
             "mention_id",
