@@ -184,6 +184,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     input_fingerprint: str | None = None,
     durable_every: int = 1,
+    assume_tiny: bool | None = None,
 ) -> DataFrame:
     """Cluster the undirected match graph; returns (mention_id, cluster_id)
     where cluster_id = min member id (stable, deterministic).
@@ -284,7 +285,15 @@ def connected_components(
             )
         _os.replace(tmp, state_path)  # atomic: round is resumable
 
-    tiny = _plan_size_bytes(edges) <= TINY_GRAPH_BYTES
+    # ``assume_tiny`` lets a caller whose edge count is provably bounded by
+    # a well-estimated input (e.g. merge_components: |mapped| <= |delta|)
+    # override the stats probe — the probe alone fails safe to "big" when
+    # the edge plan sits on a localCheckpoint RDD (unknown sizeInBytes)
+    tiny = (
+        assume_tiny
+        if assume_tiny is not None
+        else _plan_size_bytes(edges) <= TINY_GRAPH_BYTES
+    )
     with _tiny_graph_mode(spark, tiny):
         for it in range(start_iter, max_iterations):
             if converged:
